@@ -1,0 +1,100 @@
+"""Batched tangent-frame estimation: covariance → normal → sign fix →
+Rodrigues rotation into the tangent plane.
+
+Faithful TPU-native re-derivation of the reference's per-point
+``get_best_fit_plane_and_rotate`` (ref pointCloudToolbox.py:270-319):
+
+- covariance of the (already centered) neighborhood (ref :277)
+- normal = singular vector of the smallest singular value (ref :280-283);
+  here the smallest eigenvector of the 3×3 covariance via the closed-form
+  solver (same subspace, no LAPACK)
+- sign fix: flip the normal if its dot with the reference vector
+  ``pts[-1] - pts[0]`` is negative (ref :286-297). The neighbor rows are
+  distance-sorted, so pts[-1] is the farthest neighbor and pts[0] the
+  nearest, exactly as the cKDTree query ordering gives the reference.
+- Rodrigues rotation R aligning the normal with +z:
+  R = I + K + K²(1-c)/s², with the reference's identity fallback when
+  s < 1e-8 (ref :299-312). NOTE (preserved quirk): the fallback also
+  fires when the normal is exactly -z (s=0, c=-1), leaving the patch
+  upside down — the reference does the same.
+
+All functions are batched over a leading axis; masks make padded
+neighbor slots inert.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pct_tpu.fit.eigh3 import smallest_eigvec3
+
+
+def neighborhood_covariance(centered: jax.Array, mask: jax.Array | None = None
+                            ) -> jax.Array:
+    """(..., k, 3) centered neighborhoods -> (..., 3, 3) covariance.
+
+    Matches np.cov(points.T) semantics of ref :277 — mean-subtracted
+    within the neighborhood (the reference centers at the query point
+    first, then np.cov subtracts the neighborhood mean again), divided
+    by (count - 1).
+    """
+    if mask is None:
+        mask = jnp.ones(centered.shape[:-1], dtype=bool)
+    m = mask[..., None].astype(centered.dtype)
+    cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    mean = jnp.sum(centered * m, axis=-2, keepdims=True) / cnt[..., None, :]
+    d = (centered - mean) * m
+    cov = jnp.einsum("...ki,...kj->...ij", d, d,
+                     preferred_element_type=jnp.float32)
+    denom = jnp.maximum(cnt - 1.0, 1.0)
+    return cov / denom[..., None]
+
+
+def estimate_normals(centered: jax.Array, mask: jax.Array | None = None):
+    """(..., k, 3) -> (normal (...,3) sign-fixed, λ_min (...,))."""
+    cov = neighborhood_covariance(centered, mask)
+    lam, n = smallest_eigvec3(cov)
+    # sign fix vs reference vector pts[-1] - pts[0] (ref :286-297)
+    ref_vec = centered[..., -1, :] - centered[..., 0, :]
+    flip = jnp.sum(n * ref_vec, axis=-1) < 0.0
+    n = jnp.where(flip[..., None], -n, n)
+    return n, lam
+
+
+def rodrigues_to_z(normal: jax.Array) -> jax.Array:
+    """(...,3) unit normals -> (...,3,3) rotation R with R @ n = +z.
+
+    R = I + K + K² (1-c)/s², K = skew(n × z); identity when s < 1e-8
+    (ref pointCloudToolbox.py:299-312 incl. the s≈0 fallback quirk).
+    """
+    z = jnp.array([0.0, 0.0, 1.0], normal.dtype)
+    v = jnp.cross(normal, jnp.broadcast_to(z, normal.shape))
+    s2 = jnp.sum(v * v, axis=-1)
+    s = jnp.sqrt(jnp.maximum(s2, 0.0))
+    c = normal[..., 2]
+    zeros = jnp.zeros_like(c)
+    K = jnp.stack([
+        jnp.stack([zeros, -v[..., 2], v[..., 1]], axis=-1),
+        jnp.stack([v[..., 2], zeros, -v[..., 0]], axis=-1),
+        jnp.stack([-v[..., 1], v[..., 0], zeros], axis=-1),
+    ], axis=-2)
+    eye = jnp.eye(3, dtype=normal.dtype)
+    factor = (1.0 - c) / jnp.maximum(s2, 1e-20)
+    K2 = jnp.einsum("...ij,...jk->...ik", K, K,
+                    preferred_element_type=jnp.float32)
+    R = eye + K + K2 * factor[..., None, None]
+    return jnp.where((s < 1e-8)[..., None, None], eye, R)
+
+
+def tangent_frames(centered: jax.Array, mask: jax.Array | None = None):
+    """Full frame pass: (rotated (...,k,3), R (...,3,3), normal (...,3)).
+
+    ``rotated`` are the neighborhoods expressed with the best-fit plane as
+    the xy-plane (ref :315: rotated = (R @ pts.T).T == pts @ R.T).
+    """
+    normal, _ = estimate_normals(centered, mask)
+    R = rodrigues_to_z(normal)
+    rotated = jnp.einsum("...ij,...kj->...ki", R, centered,
+                         preferred_element_type=jnp.float32)
+    return rotated, R, normal

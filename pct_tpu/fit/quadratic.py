@@ -1,0 +1,76 @@
+"""Batched explicit-quadratic (Monge patch) least-squares fit.
+
+z = A a² + B b² + C ab + D a + E b + F over the rotated neighborhood
+(ref pointCloudToolbox.py:332-360 ``fit_quadratic_surface``: design
+matrix [a², b², ab, a, b, 1] + np.linalg.lstsq). TPU redesign: the
+per-point lstsq becomes a batched 6×6 normal-equations solve — the
+(k×6)ᵀ(k×6) Gram products are batched matmuls on the MXU, the 6×6
+solves are one batched XLA op. For float32 robustness the neighborhood
+is pre-scaled to unit radius (condition number of the Gram matrix drops
+from O(1/h⁴) to O(1)), and the coefficients are unscaled afterwards:
+with x = h·x̃, A = Ã/h, …, F = F̃·h.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_RIDGE = 1e-7
+
+
+def quadratic_design(ab: jax.Array) -> jax.Array:
+    """(..., k, 2) -> (..., k, 6) design matrix [a², b², ab, a, b, 1]."""
+    a, b = ab[..., 0], ab[..., 1]
+    return jnp.stack([a * a, b * b, a * b, a, b, jnp.ones_like(a)], axis=-1)
+
+
+def fit_quadratic(rotated: jax.Array, mask: jax.Array | None = None):
+    """(..., k, 3) rotated neighborhoods -> (..., 6) coefficients.
+
+    Solves min ||W^(1/2)(Xc - z)||² via scaled normal equations with a
+    tiny relative ridge (stand-in for lstsq's pseudo-inverse behavior on
+    rank-deficient neighborhoods — lstsq returns the min-norm solution,
+    the ridge returns a nearby bounded solution; divergence documented).
+    """
+    if mask is None:
+        mask = jnp.ones(rotated.shape[:-1], dtype=bool)
+    m = mask[..., None].astype(rotated.dtype)
+    # unit-radius scaling for conditioning
+    h2 = jnp.max(jnp.sum(rotated[..., :2] ** 2, axis=-1) * mask, axis=-1)
+    h = jnp.sqrt(jnp.maximum(h2, 1e-20))[..., None, None]
+    scaled = rotated / h
+    X = quadratic_design(scaled[..., :2]) * m
+    z = scaled[..., 2:3] * m
+    G = jnp.einsum("...ki,...kj->...ij", X, X,
+                   preferred_element_type=jnp.float32)
+    rhs = jnp.einsum("...ki,...kj->...ij", X, z,
+                     preferred_element_type=jnp.float32)[..., 0]
+    trace = jnp.trace(G, axis1=-2, axis2=-1)
+    G = G + (_RIDGE * trace[..., None, None] / 6.0) * jnp.eye(6, dtype=G.dtype)
+    c = jnp.linalg.solve(G, rhs[..., None])[..., 0]
+    hh = h[..., 0, 0][..., None]
+    scale_back = jnp.concatenate([
+        jnp.broadcast_to(1.0 / hh, c[..., :3].shape),   # A, B, C
+        jnp.ones_like(c[..., 3:5]),                     # D, E
+        hh,                                             # F
+    ], axis=-1)
+    return c * scale_back
+
+
+def fit_quadratic_lstsq_oracle(rotated, mask=None):
+    """Reference-semantics oracle (vmapped jnp lstsq, SVD-based). Slow;
+    used by tests to bound the normal-equations divergence."""
+    if mask is None:
+        mask = jnp.ones(rotated.shape[:-1], dtype=bool)
+    m = mask[..., None].astype(rotated.dtype)
+    X = quadratic_design(rotated[..., :2]) * m
+    z = rotated[..., 2] * mask
+
+    def one(Xi, zi):
+        return jnp.linalg.lstsq(Xi, zi)[0]
+
+    flatX = X.reshape((-1,) + X.shape[-2:])
+    flatz = z.reshape((-1, z.shape[-1]))
+    c = jax.vmap(one)(flatX, flatz)
+    return c.reshape(X.shape[:-2] + (6,))

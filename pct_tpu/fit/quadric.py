@@ -1,0 +1,59 @@
+"""Batched implicit-quadric fit: F(x,y,z) = cᵀm(x,y,z), ||c|| = 1.
+
+The reference minimizes ||Ac||² s.t. ||c||=1 with scipy SLSQP — an
+iterative Fortran solve per point (ref pointCloudToolbox.py:363-396).
+That constrained problem has a closed-form optimum: the eigenvector of
+the smallest eigenvalue of the 10×10 Gram matrix AᵀA (equivalently the
+smallest right singular vector of A). We batch the Gram build on the
+MXU and run one batched 10×10 eigh — no iteration, same optimum
+(SURVEY.md §2 native-replacement table).
+
+Monomial order matches the reference design matrix (ref :365-376):
+[x², y², z², xy, xz, yz, x, y, z, 1].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quadric_design(pts: jax.Array) -> jax.Array:
+    """(..., k, 3) -> (..., k, 10)."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    one = jnp.ones_like(x)
+    return jnp.stack(
+        [x * x, y * y, z * z, x * y, x * z, y * z, x, y, z, one], axis=-1
+    )
+
+
+def fit_quadric(centered: jax.Array, mask: jax.Array | None = None,
+                scale_normalize: bool = True) -> jax.Array:
+    """(..., k, 3) centered neighborhoods -> (..., 10) unit coefficients.
+
+    ``scale_normalize`` pre-scales the neighborhood to unit radius before
+    building the Gram matrix (f32 conditioning) and unscales the
+    coefficients per monomial degree afterwards, then renormalizes. This
+    changes the implicit column weighting relative to the reference's
+    unscaled SLSQP problem; on near-quadric data both recover the same
+    surface (tests gate the curvature outputs, which are what consumers
+    use).
+    """
+    if mask is None:
+        mask = jnp.ones(centered.shape[:-1], dtype=bool)
+    m = mask[..., None].astype(centered.dtype)
+    if scale_normalize:
+        h2 = jnp.max(jnp.sum(centered**2, axis=-1) * mask, axis=-1)
+        h = jnp.sqrt(jnp.maximum(h2, 1e-20))[..., None, None]
+    else:
+        h = jnp.ones(centered.shape[:-2] + (1, 1), centered.dtype)
+    X = quadric_design(centered / h) * m
+    G = jnp.einsum("...ki,...kj->...ij", X, X,
+                   preferred_element_type=jnp.float32)
+    w, V = jnp.linalg.eigh(G)
+    c = V[..., :, 0]  # eigenvector of smallest eigenvalue
+    hh = h[..., 0, 0][..., None]
+    deg = jnp.array([2, 2, 2, 2, 2, 2, 1, 1, 1, 0], dtype=centered.dtype)
+    c = c / hh**deg
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(c * c, axis=-1, keepdims=True), 1e-30))
+    return c / norm

@@ -1,0 +1,213 @@
+"""Grid-hash kNN and ε-ball queries (statically shaped, batched, jit-safe).
+
+Replaces the reference's serial per-point cKDTree queries
+(ref pointCloudToolbox.py:81-85: query k+1, drop self) and the ε-ball
+use sites. A query gathers up to ``capacity`` candidates from each of
+the 27 (rings=1) neighboring cells of its own cell, computes masked
+squared distances, and takes a top-k.
+
+Exactness is *verified, not assumed*: every query also computes its
+guaranteed-coverage radius (distance from the query point to the scanned
+cell window's boundary, infinite at the grid bbox edge) and whether any
+scanned cell overflowed ``capacity``. A query is certified exact iff all
+k neighbors were found, the kth distance is inside the guarantee, and no
+cell overflowed. ``knn_cloud_grid`` routes the (normally empty) inexact
+set through the brute-force oracle, so results are exact for arbitrary
+density distributions while the fast path stays fully fused.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pct_tpu.neighbors.grid import (
+    GridIndex,
+    PAD_ID,
+    build_grid,
+    cell_coords,
+    estimate_cell_size,
+    neighbor_cell_ids,
+)
+
+
+class NeighborResult(NamedTuple):
+    indices: jax.Array   # (Q, k) int32 original point indices
+    dists: jax.Array     # (Q, k) float32 ascending
+    valid: jax.Array     # (Q, k) bool — False where fewer than k found
+    exact: jax.Array     # (Q,) bool — certified-exact queries
+
+
+def _coverage_radius(q: jax.Array, qc: jax.Array, grid: GridIndex, rings: int
+                     ) -> jax.Array:
+    """(Q,) guaranteed covered radius of the scanned cell window."""
+    lo_edge = grid.origin + (qc - rings).astype(jnp.float32) * grid.cell_size
+    hi_edge = grid.origin + (qc + rings + 1).astype(jnp.float32) * grid.cell_size
+    inf = jnp.float32(jnp.inf)
+    left = jnp.where(qc - rings <= 0, inf, q - lo_edge)
+    right = jnp.where(qc + rings >= grid.dims - 1, inf, hi_edge - q)
+    return jnp.minimum(jnp.min(left, axis=-1), jnp.min(right, axis=-1))
+
+
+def _gather_candidates(grid: GridIndex, q: jax.Array, capacity: int, rings: int):
+    """(Q,3) queries -> (idx_sorted (Q,M), d2 (Q,M), ok (Q,M), overflow (Q,))."""
+    n = grid.sorted_points.shape[0]
+    qc = cell_coords(q, grid.origin, grid.cell_size, grid.dims)
+    nids = neighbor_cell_ids(qc, grid.dims, rings)            # (Q, 27)
+    starts = jnp.searchsorted(grid.sorted_ids, nids, side="left").astype(jnp.int32)
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    cand = jnp.minimum(starts[..., None] + slot, n - 1)       # (Q, 27, C)
+    cand_ids = grid.sorted_ids[cand]
+    ok = (cand_ids == nids[..., None]) & (nids[..., None] != PAD_ID)
+    # a cell overflows when the slot one past capacity still matches its id
+    probe = jnp.minimum(starts + capacity, n - 1)
+    overflow = jnp.any(
+        (grid.sorted_ids[probe] == nids) & (nids != PAD_ID)
+        & (starts + capacity <= n - 1),
+        axis=-1,
+    )
+    cpts = grid.sorted_points[cand]                           # (Q, 27, C, 3)
+    diff = cpts - q[:, None, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    m = nids.shape[-1] * capacity
+    return cand.reshape(-1, m), d2.reshape(-1, m), ok.reshape(-1, m), (
+        overflow, _coverage_radius(q, qc, grid, rings))
+
+
+@partial(jax.jit, static_argnames=("k", "capacity", "rings", "tile", "exclude_self"))
+def knn_grid(
+    grid: GridIndex,
+    queries: jax.Array,
+    k: int,
+    query_indices: jax.Array | None = None,
+    capacity: int = 64,
+    rings: int = 1,
+    tile: int = 1024,
+    exclude_self: bool = True,
+) -> NeighborResult:
+    """Batched kNN against a GridIndex.
+
+    ``query_indices``: original index of each query row, used for
+    self-exclusion (reference "k+1 then drop self" semantics). Defaults
+    to arange (query == the indexed cloud).
+    """
+    nq = queries.shape[0]
+    if query_indices is None:
+        query_indices = jnp.arange(nq, dtype=jnp.int32)
+    pad = (-nq) % tile
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    qi = jnp.pad(query_indices, (0, pad), constant_values=-1)
+
+    def one_tile(args):
+        q, qidx = args
+        cand, d2, ok, (overflow, coverage) = _gather_candidates(
+            grid, q, capacity, rings)
+        orig = grid.order[cand]
+        if exclude_self:
+            ok = ok & (orig != qidx[:, None])
+        d2 = jnp.where(ok, d2, jnp.inf)
+        neg, pos = jax.lax.top_k(-d2, k)
+        row = jnp.arange(q.shape[0])[:, None]
+        dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        found = jnp.isfinite(neg)
+        exact = found[:, k - 1] & (dists[:, k - 1] <= coverage) & (~overflow)
+        return orig[row, pos], dists, found, exact
+
+    qt = qp.reshape(-1, tile, 3)
+    it = qi.reshape(-1, tile)
+    idx, dist, val, exact = jax.lax.map(one_tile, (qt, it))
+    return NeighborResult(
+        idx.reshape(-1, k)[:nq], dist.reshape(-1, k)[:nq],
+        val.reshape(-1, k)[:nq], exact.reshape(-1)[:nq],
+    )
+
+
+@partial(jax.jit, static_argnames=("max_neighbors", "capacity", "rings", "tile",
+                                   "exclude_self"))
+def ball_grid(
+    grid: GridIndex,
+    queries: jax.Array,
+    radius: jax.Array,
+    max_neighbors: int,
+    query_indices: jax.Array | None = None,
+    capacity: int = 64,
+    rings: int = 1,
+    tile: int = 1024,
+    exclude_self: bool = False,
+) -> NeighborResult:
+    """ε-ball query: fixed-width (Q, max_neighbors) masked neighbor lists,
+    nearest-first. Cells scanned must cover ``radius`` — caller should
+    build the grid with cell_size >= radius/rings."""
+    res = knn_grid(
+        grid, queries, max_neighbors, query_indices,
+        capacity=capacity, rings=rings, tile=tile, exclude_self=exclude_self,
+    )
+    inside = res.valid & (res.dists <= radius)
+    return NeighborResult(res.indices, res.dists, inside, res.exact)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
+
+
+def knn_cloud_grid(cloud, k: int, capacity: int | None = None, rings: int = 1,
+                   cell_size=None, tile: int = 512, exact_fallback: bool = True):
+    """Grid build (auto cell size) + self-excluded kNN for all points of a
+    PointCloud, with certified exactness. Returns (NeighborResult, GridIndex).
+
+    Default capacity scales with k: expected occupancy of a cell sized by
+    ``estimate_cell_size`` is ~(1.35²)·k·(σd̄²) ≲ 1.9k on lattice-sampled
+    surfaces, so 2.5k + 16 leaves headroom for density ripple.
+
+    ``exact_fallback``: re-resolve queries the grid could not certify
+    (extreme density contrast, cell overflow) through the brute-force
+    oracle — a host-coordinated repair pass that is a no-op on
+    well-behaved clouds (one scalar device→host sync to check).
+    """
+    from pct_tpu.neighbors.bruteforce import knn_bruteforce
+
+    if capacity is None:
+        capacity = int(2.5 * k) + 16
+    if cell_size is None:
+        cell_size = estimate_cell_size(cloud.points, cloud.num_points, k)
+    grid = build_grid(cloud.points, cloud.num_points, cell_size)
+    # query in sorted order for locality, then scatter back to original order
+    res = knn_grid(
+        grid, grid.sorted_points, k, query_indices=grid.order,
+        capacity=capacity, rings=rings, tile=tile, exclude_self=True,
+    )
+    inv = jnp.zeros_like(grid.order).at[grid.order].set(
+        jnp.arange(grid.order.shape[0], dtype=jnp.int32)
+    )
+    res = NeighborResult(res.indices[inv], res.dists[inv], res.valid[inv],
+                         res.exact[inv])
+    if exact_fallback:
+        n = int(cloud.num_points)
+        inexact = np.where(~np.asarray(res.exact)[:n])[0].astype(np.int32)
+        if inexact.size:
+            if inexact.size > n // 2:
+                bi, bd = knn_bruteforce(cloud.points, cloud.num_points, k)
+                res = NeighborResult(
+                    bi, bd, jnp.ones_like(bi, dtype=bool),
+                    jnp.ones((res.exact.shape[0],), dtype=bool),
+                )
+            else:
+                f = _next_pow2(inexact.size)
+                sel = np.pad(inexact, (0, f - inexact.size))
+                sel_j = jnp.asarray(sel)
+                bi, bd = knn_bruteforce(
+                    cloud.points, cloud.num_points, k,
+                    queries=cloud.points[sel_j], query_indices=sel_j,
+                    tile=min(2048, f),
+                )
+                res = NeighborResult(
+                    res.indices.at[sel_j].set(bi),
+                    res.dists.at[sel_j].set(bd),
+                    res.valid.at[sel_j].set(True),
+                    res.exact.at[sel_j].set(True),
+                )
+    return res, grid

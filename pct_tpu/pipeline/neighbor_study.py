@@ -1,0 +1,97 @@
+"""Neighbor-count convergence study — vectorized ladder instead of
+per-point binary search.
+
+Reference behavior (ref pointCloudToolbox.py:732-800
+``explicit_quadratic_neighbor_study``): sample ≤500 random points and,
+per point, binary-search k ∈ [3, 99] for the smallest neighborhood where
+|K(k+1) − K(k)| < tol, each probe re-querying the kd-tree and refitting;
+returns int(mean(converged_k)) + 1. The sister implicit study
+(ref :827-881) is dead code (NameErrors) and is deliberately not
+reproduced.
+
+TPU redesign (SURVEY §7 stage 5): query max_k neighbors ONCE for the
+sample batch, then evaluate the curvature at every ladder rung k =
+kmin..kmax simultaneously — each rung is just the same gathered
+neighborhoods with a shorter mask — and take the smallest converged k
+per sample. One fused pass, no re-queries, no host loop. Note the
+divergence (documented): bisection can stop at a locally-converged k
+that is not the smallest; the ladder returns the true smallest, which is
+the intended semantics of the study.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pct_tpu.core.cloud import PointCloud
+from pct_tpu.curvature.explicit import explicit_curvatures
+from pct_tpu.fit.frames import tangent_frames
+from pct_tpu.fit.quadratic import fit_quadratic
+from pct_tpu.neighbors.knn import knn_cloud_grid
+
+
+@partial(jax.jit, static_argnames=("kmin", "kmax"))
+def _ladder_converged_k(points, sample_idx, nbr_idx, kmin: int, kmax: int,
+                        tol: float):
+    """nbr_idx: (S, kmax+1) neighbor indices (ascending by distance).
+
+    Returns (converged_k (S,) int32, converged mask (S,) bool): smallest
+    k in [kmin, kmax] with |K(k+1) - K(k)| < tol.
+    """
+    q = points[sample_idx]
+    nbrs = points[nbr_idx] - q[:, None, :]          # (S, kmax+1, 3)
+    kmax_p1 = nbr_idx.shape[1]
+    ks = jnp.arange(kmin, kmax_p1 + 1, dtype=jnp.int32)   # rungs kmin..kmax+1
+
+    def curv_at_k(k):
+        m = jnp.arange(kmax_p1, dtype=jnp.int32)[None, :] < k
+        rotated, _, _ = tangent_frames(nbrs, jnp.broadcast_to(m, nbrs.shape[:2]))
+        coeffs = fit_quadratic(rotated, jnp.broadcast_to(m, nbrs.shape[:2]))
+        return explicit_curvatures(coeffs).K          # (S,)
+
+    K_ladder = jax.lax.map(curv_at_k, ks)             # (R, S)
+    diff = jnp.abs(K_ladder[1:] - K_ladder[:-1])      # rung k vs k+1
+    conv = diff < tol                                 # (R-1, S)
+    first = jnp.argmax(conv, axis=0)                  # first True, else 0
+    any_conv = jnp.any(conv, axis=0)
+    return (kmin + first).astype(jnp.int32), any_conv
+
+
+def explicit_quadratic_neighbor_study(
+    cloud: PointCloud,
+    tol: float = 1e-7,
+    sample_size: int = 500,
+    kmin: int = 3,
+    kmax: int = 99,
+    seed: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (recommended_k scalar int32, per-sample converged k).
+
+    recommended_k = int(mean(converged samples)) + 1
+    (ref pointCloudToolbox.py:797-800).
+    """
+    key = jax.random.PRNGKey(seed)
+    n = cloud.num_points
+    sample_size = min(sample_size, cloud.capacity)
+    # uniform sample of valid points (ref :751-754 random.sample)
+    sample_idx = (jax.random.uniform(key, (sample_size,))
+                  * n.astype(jnp.float32)).astype(jnp.int32)
+    sample_idx = jnp.clip(sample_idx, 0, jnp.maximum(n - 1, 0))
+
+    from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+    from pct_tpu.neighbors.knn import knn_grid
+
+    cell = estimate_cell_size(cloud.points, cloud.num_points, kmax + 1)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    res = knn_grid(grid, cloud.points[sample_idx], kmax + 1,
+                   query_indices=sample_idx,
+                   capacity=int(2.5 * kmax) + 16, tile=min(512, sample_size))
+    conv_k, conv_mask = _ladder_converged_k(
+        cloud.points, sample_idx, res.indices, kmin, kmax, tol
+    )
+    denom = jnp.maximum(jnp.sum(conv_mask), 1)
+    mean_k = jnp.sum(jnp.where(conv_mask, conv_k, 0)) / denom
+    return mean_k.astype(jnp.int32) + 1, jnp.where(conv_mask, conv_k, -1)

@@ -1,0 +1,118 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+from pct_tpu.core import from_numpy
+from pct_tpu.neighbors import (
+    build_grid,
+    estimate_cell_size,
+    knn_bruteforce,
+    knn_cloud,
+    knn_cloud_grid,
+    knn_grid,
+    ball_grid,
+    mean_nn_distance,
+)
+from pct_tpu.shapes import generate_shape
+
+
+def scipy_knn(pts, k):
+    tree = cKDTree(pts)
+    d, i = tree.query(pts, k=k + 1)
+    return i[:, 1:], d[:, 1:]  # drop self (reference semantics)
+
+
+@pytest.mark.parametrize("shape", ["sphere", "torus"])
+def test_bruteforce_vs_scipy(shape):
+    pts, _ = generate_shape(shape, 2000, radius=1.0)
+    cloud = from_numpy(pts)
+    k = 10
+    idx, dist = knn_cloud(cloud, k=k)
+    idx, dist = np.asarray(idx)[:2000], np.asarray(dist)[:2000]
+    si, sd = scipy_knn(pts, k)
+    np.testing.assert_allclose(dist, sd, rtol=1e-4, atol=1e-5)
+    # index sets must match wherever the k-th distance is untied (regular
+    # grids like the torus have exact distance ties -> arbitrary index pick)
+    tree = cKDTree(pts)
+    d2, _ = tree.query(pts, k=k + 2)
+    untied = (d2[:, k + 1] - d2[:, k]) > 1e-5
+    match = (np.sort(idx, axis=1) == np.sort(si, axis=1)).all(axis=1)
+    assert match[untied].mean() > 0.999
+
+
+def test_bruteforce_padding_ignored():
+    pts, _ = generate_shape("sphere", 500, radius=1.0)
+    c1 = from_numpy(pts, capacity=512)
+    c2 = from_numpy(pts, capacity=2048)
+    i1, d1 = knn_cloud(c1, k=8)
+    i2, d2 = knn_cloud(c2, k=8)
+    np.testing.assert_allclose(np.asarray(d1)[:500], np.asarray(d2)[:500],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1)[:500], np.asarray(i2)[:500])
+
+
+@pytest.mark.parametrize("shape,k", [("sphere", 10), ("torus", 20),
+                                     ("egg_carton", 20), ("cylinder", 30)])
+def test_grid_knn_matches_bruteforce(shape, k):
+    pts, _ = generate_shape(shape, 4000, radius=1.0)
+    cloud = from_numpy(pts)
+    res, grid = knn_cloud_grid(cloud, k=k)
+    bi, bd = knn_cloud(cloud, k=k)
+    n = 4000
+    valid = np.asarray(res.valid)[:n]
+    assert valid.all(), f"grid found only {valid.mean():.3f} of neighbors"
+    np.testing.assert_allclose(np.asarray(res.dists)[:n], np.asarray(bd)[:n],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grid_knn_nonuniform_density(rng):
+    # two well-separated clusters at very different densities
+    a = rng.standard_normal((3000, 3)).astype(np.float32) * 0.01
+    b = rng.standard_normal((1000, 3)).astype(np.float32) * 1.0 + 5.0
+    pts = np.concatenate([a, b])
+    cloud = from_numpy(pts)
+    # pathological for any fixed cell size; the certified-exact fallback
+    # must still deliver brute-force-equal results
+    res, _ = knn_cloud_grid(cloud, k=8)
+    bi, bd = knn_cloud(cloud, k=8)
+    n = pts.shape[0]
+    assert np.asarray(res.exact)[:n].all()
+    np.testing.assert_allclose(np.asarray(res.dists)[:n], np.asarray(bd)[:n],
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_grid_query_external_points():
+    pts, _ = generate_shape("torus", 3000, radius=1.0)
+    cloud = from_numpy(pts)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, 10)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    queries = jnp.asarray(pts[:100] + 0.001)
+    res = knn_grid(grid, queries, k=5, exclude_self=False)
+    tree = cKDTree(pts)
+    sd, si = tree.query(np.asarray(queries), k=5)
+    np.testing.assert_allclose(np.asarray(res.dists), sd, rtol=1e-4, atol=1e-5)
+
+
+def test_ball_query():
+    pts, _ = generate_shape("sphere", 2000, radius=1.0)
+    cloud = from_numpy(pts)
+    radius = 0.15
+    cell = jnp.float32(radius)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    res = ball_grid(grid, cloud.points[:200], jnp.float32(radius),
+                    max_neighbors=64, capacity=96)
+    tree = cKDTree(pts)
+    counts = np.array([len(tree.query_ball_point(p, radius)) for p in pts[:200]])
+    got = np.asarray(res.valid).sum(axis=1)
+    np.testing.assert_array_equal(got, counts)
+
+
+def test_mean_nn_distance():
+    pts, _ = generate_shape("sphere", 2000, radius=1.0)
+    cloud = from_numpy(pts)
+    d = float(mean_nn_distance(cloud.points, cloud.num_points, sample=512))
+    tree = cKDTree(pts)
+    dd, _ = tree.query(pts, k=2)
+    ref = dd[:, 1].mean()
+    assert np.isclose(d, ref, rtol=0.15)

@@ -1,0 +1,100 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+from pct_tpu.core import from_numpy
+from pct_tpu.pipeline import (
+    curvature_pipeline,
+    explicit_quadratic_neighbor_study,
+    pointwise_curvature,
+)
+from pct_tpu.shapes import analytic_curvatures, generate_shape
+from tests.reference_oracle import reference_explicit_chain
+
+
+def test_explicit_pipeline_sphere():
+    pts, _ = generate_shape("sphere", 2000, radius=1.0)
+    cloud = from_numpy(pts)
+    r = curvature_pipeline(cloud, k=20, method="explicit", tile=1024)
+    n = 2000
+    K = np.asarray(r.curv.K)[:n]
+    H = np.asarray(r.curv.H)[:n]
+    Ka, Ha = analytic_curvatures("sphere", pts)
+    # method (truncation) error dominates at N=2000/k=20: ~2% K bias —
+    # the reference's own chain shows the same (see the oracle-match test)
+    assert np.median(np.abs(K - Ka) / Ka) < 0.04
+    assert np.median(np.abs(H - Ha) / Ha) < 0.04
+    assert abs(np.mean(K) - 1.0) < 0.05
+    assert abs(np.mean(H) - 1.0) < 0.05
+
+
+def test_explicit_pipeline_matches_reference_chain():
+    """Fused f32 TPU chain vs independent f64 numpy oracle of the
+    reference algorithm, on identical neighbor sets."""
+    pts, _ = generate_shape("torus", 1500, radius=1.0)
+    cloud = from_numpy(pts)
+    tree = cKDTree(pts)
+    _, idx = tree.query(pts, k=21)
+    idx = idx[:, 1:].astype(np.int32)
+    curv, normals, coeffs = pointwise_curvature(
+        cloud.points, jnp.asarray(idx), method="explicit", tile=512
+    )
+    K = np.asarray(curv.K)
+    H = np.asarray(curv.H)
+    K_ref, H_ref, n_ref = reference_explicit_chain(pts, idx)
+    scale = np.abs(K_ref).max()
+    assert np.median(np.abs(K - K_ref)) / scale < 1e-4
+    assert np.quantile(np.abs(K - K_ref) / scale, 0.99) < 1e-2
+    hscale = np.abs(H_ref).max()
+    assert np.median(np.abs(H - H_ref)) / hscale < 1e-4
+    # normals agree including the sign-fix
+    dots = np.abs(np.sum(np.asarray(normals)[: len(pts)] * n_ref, axis=1))
+    assert np.median(dots) > 0.9999
+    sign_agree = (np.sum(np.asarray(normals)[: len(pts)] * n_ref, axis=1) > 0)
+    assert sign_agree.mean() > 0.99
+
+
+def test_explicit_pipeline_torus_pointwise():
+    pts, _ = generate_shape("torus", 4000, radius=1.0)
+    cloud = from_numpy(pts)
+    r = curvature_pipeline(cloud, k=20, tile=1024)
+    n = 4000
+    K = np.asarray(r.curv.K)[:n]
+    Ka, _ = analytic_curvatures("torus", pts)
+    # K spans negative (inner) to positive (outer); sign agreement
+    strong = np.abs(Ka) > 0.5
+    assert (np.sign(K[strong]) == np.sign(Ka[strong])).mean() > 0.97
+    # relative error where curvature is significant
+    rel = np.abs(K[strong] - Ka[strong]) / np.abs(Ka[strong])
+    assert np.median(rel) < 0.05
+
+
+def test_implicit_pipeline_sphere():
+    pts, _ = generate_shape("sphere", 2000, radius=2.0)
+    cloud = from_numpy(pts)
+    r = curvature_pipeline(cloud, k=40, method="implicit", tile=1024)
+    K = np.asarray(r.curv.K)[:2000]
+    np.testing.assert_allclose(np.median(K), 0.25, rtol=0.05)
+
+
+def test_neighbor_study_sphere():
+    pts, _ = generate_shape("sphere", 2000, radius=1.0)
+    cloud = from_numpy(pts)
+    k_rec, per_sample = explicit_quadratic_neighbor_study(
+        cloud, tol=1e-4, sample_size=64, kmax=40
+    )
+    k_rec = int(k_rec)
+    assert 4 <= k_rec <= 41
+    per = np.asarray(per_sample)
+    assert (per[per > 0] >= 3).all()
+
+
+def test_pipeline_padding_invariance():
+    pts, _ = generate_shape("sphere", 900, radius=1.0)
+    c1 = from_numpy(pts, capacity=1024)
+    c2 = from_numpy(pts, capacity=2048)
+    r1 = curvature_pipeline(c1, k=12, tile=512)
+    r2 = curvature_pipeline(c2, k=12, tile=512)
+    np.testing.assert_allclose(np.asarray(r1.curv.K)[:900],
+                               np.asarray(r2.curv.K)[:900], rtol=1e-4)

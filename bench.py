@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""North-star benchmark: kNN + quadric-fit curvature on a 1M-point torus,
+one TPU chip (BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": pts/s/chip, "unit": "points/s", "vs_baseline": x}
+
+vs_baseline is against the reference's measured curvature-core throughput
+of ~6.3k points/s/core (BASELINE.md: 13.6 s kNN + 40.0 s fits + 3.1 s
+formulas for 339,735 points on the author's laptop).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pct_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from pct_tpu.core import from_numpy
+    from pct_tpu.neighbors.grid import estimate_cell_size
+    from pct_tpu.pipeline.fused import fused_curvature
+    from pct_tpu.shapes import analytic_curvatures, generate_shape
+
+    from pct_tpu.neighbors.cellknn import probe_grid
+    from pct_tpu.neighbors.grid import build_grid
+
+    N = 1_000_000
+    K_NEIGHBORS = 20
+    pts, _ = generate_shape("torus", N, radius=1.0)
+    cloud = from_numpy(pts, pad_multiple=1 << 16)
+
+    # one-time capacity probe (static-shape tuning; reused across runs of
+    # the same cloud family)
+    cell0 = estimate_cell_size(cloud.points, cloud.num_points, K_NEIGHBORS)
+    _, capacity, mc = probe_grid(build_grid(cloud.points, cloud.num_points,
+                                            cell0))
+
+    def run():
+        cell = estimate_cell_size(cloud.points, cloud.num_points, K_NEIGHBORS)
+        res = fused_curvature(cloud.points, cloud.num_points, cell,
+                              k=K_NEIGHBORS, capacity=capacity, max_cells=mc,
+                              method="explicit")
+        return res
+
+    def sync(res):
+        # np.asarray round-trip: block_until_ready is not a reliable fence
+        # on the tunneled axon platform
+        np.asarray(res.curv.K[0:1])
+
+    # warmup / compile
+    res = run()
+    sync(res)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run()
+        sync(res)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    throughput = N / t
+
+    K = np.asarray(res.curv.K)[:N]
+    exact_frac = float(np.asarray(res.exact)[:N].mean())
+    Ka, Ha = analytic_curvatures("torus", pts)
+    H = np.asarray(res.curv.H)[:N]
+    # K is orientation-invariant -> direct relative error; H's sign follows
+    # the reference's local sign-fix (no global orientation), so compare
+    # magnitudes. Scale-normalized errors avoid the blow-up where the
+    # analytic K crosses zero on the torus.
+    scale = np.abs(Ka).max()
+    relK = np.abs(K - Ka) / scale
+    relH = np.abs(np.abs(H) - np.abs(Ha)) / np.abs(Ha)
+
+    out = {
+        "metric": "knn_quadric_curvature_1M_torus_points_per_sec_per_chip",
+        "value": round(throughput, 1),
+        "unit": "points/s",
+        "vs_baseline": round(throughput / 6300.0, 2),
+        "seconds_per_1M": round(t, 4),
+        "k": K_NEIGHBORS,
+        "knn_exact_fraction": round(exact_frac, 6),
+        "nan_fraction": float(np.isnan(K).mean()),
+        "median_scalerel_err_K_vs_analytic": float(np.median(relK)),
+        "p99_scalerel_err_K_vs_analytic": float(np.quantile(relK, 0.99)),
+        "max_scalerel_err_K_vs_analytic": float(np.max(relK)),
+        "median_rel_err_absH_vs_analytic": float(np.median(relH)),
+        "p99_rel_err_absH_vs_analytic": float(np.quantile(relH, 0.99)),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

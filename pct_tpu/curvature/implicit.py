@@ -58,14 +58,16 @@ def implicit_curvatures(coeffs: jax.Array, mode: str = "exact") -> Curvatures:
     mag = jnp.sqrt(jnp.maximum(mag2, 1e-30))
     tr = hess[..., 0, 0] + hess[..., 1, 1] + hess[..., 2, 2]
     gHg = jnp.einsum("...i,...ij,...j->...", g, hess, g,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     H_mean = (gHg - mag2 * tr) / (2.0 * mag2 * mag)
     if mode == "reference":
         K = jnp.linalg.det(hess) / jnp.maximum(mag2 * mag2, 1e-30)
         disc = jnp.sqrt(H_mean * H_mean - K)  # unclamped: NaN preserved
     elif mode == "exact":
         gAg = jnp.einsum("...i,...ij,...j->...", g, _adjugate3(hess), g,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         K = gAg / jnp.maximum(mag2 * mag2, 1e-30)
         disc = jnp.sqrt(jnp.maximum(H_mean * H_mean - K, 0.0))
     else:

@@ -46,7 +46,8 @@ def neighborhood_covariance(centered: jax.Array, mask: jax.Array | None = None
     mean = jnp.sum(centered * m, axis=-2, keepdims=True) / cnt[..., None, :]
     d = (centered - mean) * m
     cov = jnp.einsum("...ki,...kj->...ij", d, d,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     denom = jnp.maximum(cnt - 1.0, 1.0)
     return cov / denom[..., None]
 
@@ -82,7 +83,8 @@ def rodrigues_to_z(normal: jax.Array) -> jax.Array:
     eye = jnp.eye(3, dtype=normal.dtype)
     factor = (1.0 - c) / jnp.maximum(s2, 1e-20)
     K2 = jnp.einsum("...ij,...jk->...ik", K, K,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     R = eye + K + K2 * factor[..., None, None]
     return jnp.where((s < 1e-8)[..., None, None], eye, R)
 
@@ -96,5 +98,6 @@ def tangent_frames(centered: jax.Array, mask: jax.Array | None = None):
     normal, _ = estimate_normals(centered, mask)
     R = rodrigues_to_z(normal)
     rotated = jnp.einsum("...ij,...kj->...ki", R, centered,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return rotated, R, normal

@@ -36,24 +36,32 @@ def fit_quadratic(rotated: jax.Array, mask: jax.Array | None = None):
     if mask is None:
         mask = jnp.ones(rotated.shape[:-1], dtype=bool)
     m = mask[..., None].astype(rotated.dtype)
-    # unit-radius scaling for conditioning
-    h2 = jnp.max(jnp.sum(rotated[..., :2] ** 2, axis=-1) * mask, axis=-1)
-    h = jnp.sqrt(jnp.maximum(h2, 1e-20))[..., None, None]
-    scaled = rotated / h
-    X = quadratic_design(scaled[..., :2]) * m
-    z = scaled[..., 2:3] * m
+    # ANISOTROPIC per-axis scaling: lattice-sampled scans have strongly
+    # elliptical neighborhoods (e.g. 3:1 on the torus generator); a single
+    # radius scale leaves the a/b columns unbalanced and the Gram
+    # condition number squares that imbalance. Normalize each tangent
+    # axis to unit extent, leave z unscaled (LS is rhs-scale-equivariant).
+    sa = jnp.sqrt(jnp.maximum(
+        jnp.max(rotated[..., 0] ** 2 * mask, axis=-1), 1e-20))[..., None]
+    sb = jnp.sqrt(jnp.maximum(
+        jnp.max(rotated[..., 1] ** 2 * mask, axis=-1), 1e-20))[..., None]
+    ab = jnp.stack([rotated[..., 0] / sa, rotated[..., 1] / sb], axis=-1)
+    X = quadratic_design(ab) * m
+    z = rotated[..., 2:3] * m
     G = jnp.einsum("...ki,...kj->...ij", X, X,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     rhs = jnp.einsum("...ki,...kj->...ij", X, z,
-                     preferred_element_type=jnp.float32)[..., 0]
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)[..., 0]
     trace = jnp.trace(G, axis1=-2, axis2=-1)
     G = G + (_RIDGE * trace[..., None, None] / 6.0) * jnp.eye(6, dtype=G.dtype)
     c = jnp.linalg.solve(G, rhs[..., None])[..., 0]
-    hh = h[..., 0, 0][..., None]
+    # unscale: z = Ã(a/sa)² + ... ⇒ A = Ã/sa², B = B̃/sb², C = C̃/(sa·sb),
+    # D = D̃/sa, E = Ẽ/sb, F = F̃
     scale_back = jnp.concatenate([
-        jnp.broadcast_to(1.0 / hh, c[..., :3].shape),   # A, B, C
-        jnp.ones_like(c[..., 3:5]),                     # D, E
-        hh,                                             # F
+        1.0 / (sa * sa), 1.0 / (sb * sb), 1.0 / (sa * sb),
+        1.0 / sa, 1.0 / sb, jnp.ones_like(sa),
     ], axis=-1)
     return c * scale_back
 

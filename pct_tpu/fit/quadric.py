@@ -49,7 +49,8 @@ def fit_quadric(centered: jax.Array, mask: jax.Array | None = None,
         h = jnp.ones(centered.shape[:-2] + (1, 1), centered.dtype)
     X = quadric_design(centered / h) * m
     G = jnp.einsum("...ki,...kj->...ij", X, X,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     w, V = jnp.linalg.eigh(G)
     c = V[..., :, 0]  # eigenvector of smallest eigenvalue
     hh = h[..., 0, 0][..., None]

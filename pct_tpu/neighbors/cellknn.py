@@ -1,0 +1,243 @@
+"""Cell-centric kNN: the fast path for all-points self-queries.
+
+The query-centric kernel (knn.py) fetches 27·C candidate rows per QUERY
+— on a 1M-point cloud that's ~1.8B gathered rows, and XLA gathers are
+the dominant cost (~8 s/1M measured on v5e). But queries that share a
+grid cell share their entire candidate set, so this kernel iterates
+over OCCUPIED CELLS instead:
+
+  per cell: fetch the 27-cell candidate neighborhood ONCE (as 9
+  contiguous runs of 3 x-adjacent cells — contiguous in the sorted
+  array because cell ids linearize x fastest), compute the distance
+  matrix of the cell's own points vs the candidates as an MXU batched
+  matmul in CELL-LOCAL coordinates (f32-safe), and top-k each row.
+
+Gather volume drops by the mean cell occupancy (~38× for k=20) and the
+searchsorted count drops 27 N → 18·n_cells. Exactness certification
+(coverage radius, capacity overflow, cell-table overflow) is preserved.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pct_tpu.neighbors.grid import MAXDIM, PAD_ID, GridIndex
+from pct_tpu.neighbors.knn import NeighborResult
+
+
+class CellTable(NamedTuple):
+    """Compaction of occupied cells (statically sized at max_cells)."""
+    cell_id: jax.Array     # (MC,) linearized id, PAD_ID beyond num_cells
+    start: jax.Array       # (MC,) first sorted-row of the cell
+    count: jax.Array       # (MC,) points in the cell
+    num_cells: jax.Array   # () int32
+    overflow: jax.Array    # () bool — more occupied cells than MC
+    max_count: jax.Array   # () int32 — fullest cell (for capacity tuning)
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def compact_cells(grid: GridIndex, max_cells: int) -> CellTable:
+    ids = grid.sorted_ids
+    n = ids.shape[0]
+    prev = jnp.concatenate([jnp.full((1,), -1, ids.dtype), ids[:-1]])
+    is_first = (ids != prev) & (ids != PAD_ID)
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    num_valid = jnp.sum((ids != PAD_ID).astype(jnp.int32))
+    num_cells = jnp.where(num_valid > 0, rank[n - 1] + 1, 0)
+    # rank may exceed MC on pathological clouds -> drop + flag
+    slot = jnp.where(is_first, rank, max_cells)
+    start = jnp.full((max_cells,), n, jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    cell_id = jnp.full((max_cells,), PAD_ID, ids.dtype).at[slot].set(
+        ids, mode="drop")
+    nxt = jnp.concatenate([start[1:], jnp.full((1,), n, jnp.int32)])
+    c = jnp.arange(max_cells, dtype=jnp.int32)
+    end = jnp.where(c + 1 < num_cells, nxt, num_valid)
+    count = jnp.where(c < num_cells, end - start, 0)
+    return CellTable(cell_id, start, count, num_cells,
+                     jnp.any(rank > max_cells - 1), jnp.max(count))
+
+
+def _decode(cell_id):
+    ix = cell_id % MAXDIM
+    iy = (cell_id // MAXDIM) % MAXDIM
+    iz = cell_id // (MAXDIM * MAXDIM)
+    return ix, iy, iz
+
+
+@partial(jax.jit, static_argnames=("k", "capacity", "tile_cells"))
+def knn_cellwise(
+    grid: GridIndex,
+    cells: CellTable,
+    k: int,
+    capacity: int = 64,
+    tile_cells: int = 128,
+) -> NeighborResult:
+    """Self-excluded kNN for every point, rows in SORTED order.
+
+    ``indices`` are original point ids (grid.order applied); a row's
+    query is grid.sorted_points[row]. ``capacity`` is the max points
+    considered per cell (run length cap = 3·capacity per run).
+    """
+    n = grid.sorted_points.shape[0]
+    mc = cells.cell_id.shape[0]
+    run_cap = 3 * capacity
+    pad_tiles = (-mc) % tile_cells
+
+    cid = jnp.pad(cells.cell_id, (0, pad_tiles), constant_values=PAD_ID)
+    cstart = jnp.pad(cells.start, (0, pad_tiles), constant_values=n)
+    ccount = jnp.pad(cells.count, (0, pad_tiles))
+
+    dims = grid.dims
+    inf = jnp.float32(jnp.inf)
+
+    def one_tile(args):
+        cell_id, start, count = args          # (T,)
+        T = cell_id.shape[0]
+        ix, iy, iz = _decode(jnp.where(cell_id == PAD_ID, 0, cell_id))
+        # --- 9 runs: (dy, dz) in {-1,0,1}², x spans [ix-1, ix+1] clipped ---
+        dyz = jnp.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
+                        dtype=jnp.int32)                       # (9, 2)
+        ny = iy[:, None] + dyz[None, :, 0]
+        nz = iz[:, None] + dyz[None, :, 1]
+        ok_run = (ny >= 0) & (ny < dims[1]) & (nz >= 0) & (nz < dims[2])
+        x_lo = jnp.maximum(ix - 1, 0)
+        x_hi = jnp.minimum(ix + 1, dims[0] - 1)
+        base = ny * MAXDIM + nz * MAXDIM * MAXDIM                # (T, 9)
+        run_lo = base + x_lo[:, None]
+        run_hi = base + x_hi[:, None]
+        rs = jnp.searchsorted(grid.sorted_ids, run_lo, side="left")
+        re = jnp.searchsorted(grid.sorted_ids, run_hi + 1, side="left")
+        rs = rs.astype(jnp.int32)
+        re = re.astype(jnp.int32)
+        run_len = jnp.where(ok_run, re - rs, 0)
+        run_overflow = jnp.any(run_len > run_cap, axis=1)       # (T,)
+        run_len = jnp.minimum(run_len, run_cap)
+        # --- candidate rows: (T, 9, run_cap) sorted positions ---
+        slot = jnp.arange(run_cap, dtype=jnp.int32)
+        cand = jnp.minimum(rs[..., None] + slot, n - 1)
+        ok_cand = slot[None, None, :] < run_len[..., None]
+        cand = cand.reshape(T, 9 * run_cap)
+        ok_cand = ok_cand.reshape(T, 9 * run_cap)
+        cpts = grid.sorted_points[cand]                          # (T, M, 3)
+        # --- cell-local origin for f32-safe MXU distance expansion ---
+        corner = grid.origin[None, :] + grid.cell_size * jnp.stack(
+            [ix, iy, iz], axis=-1).astype(jnp.float32)           # (T, 3)
+        cpts_l = cpts - corner[:, None, :]
+        qrow = jnp.minimum(start[:, None] + jnp.arange(capacity,
+                                                       dtype=jnp.int32), n - 1)
+        ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
+        qpts_l = grid.sorted_points[qrow] - corner[:, None, :]    # (T, C, 3)
+        # --- distances: |q|² + |c|² - 2 q·cᵀ on the MXU ---
+        q2 = jnp.sum(qpts_l * qpts_l, axis=-1)                   # (T, C)
+        c2 = jnp.sum(cpts_l * cpts_l, axis=-1)                   # (T, M)
+        cross = jnp.einsum("tcd,tmd->tcm", qpts_l, cpts_l,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(q2[:, :, None] + c2[:, None, :] - 2.0 * cross, 0.0)
+        d2 = jnp.where(ok_cand[:, None, :], d2, inf)
+        # self-exclusion: candidate sorted-pos == query sorted-pos
+        self_m = cand[:, None, :] == qrow[:, :, None]
+        d2 = jnp.where(self_m, inf, d2)
+        neg, pos = jax.lax.top_k(-d2, k)                         # (T, C, k)
+        dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        found = jnp.isfinite(neg)
+        cand_sorted = jnp.take_along_axis(
+            jnp.broadcast_to(cand[:, None, :], d2.shape), pos, axis=-1)
+        idx_orig = grid.order[cand_sorted]
+        # --- exactness: per-query coverage radius within the 3³ window ---
+        qpts = qpts_l + corner[:, None, :]
+        coords = jnp.stack([ix, iy, iz], axis=-1)                # (T, 3)
+        lo_edge = grid.origin[None, :] + (coords - 1).astype(jnp.float32) \
+            * grid.cell_size
+        hi_edge = grid.origin[None, :] + (coords + 2).astype(jnp.float32) \
+            * grid.cell_size
+        left = jnp.where((coords - 1 <= 0)[:, None, :], inf,
+                         qpts - lo_edge[:, None, :])
+        right = jnp.where((coords + 1 >= dims - 1)[:, None, :], inf,
+                          hi_edge[:, None, :] - qpts)
+        cover = jnp.minimum(jnp.min(left, axis=-1), jnp.min(right, axis=-1))
+        exact = (found[..., k - 1] & (dists[..., k - 1] <= cover)
+                 & (~run_overflow[:, None]))
+        return idx_orig, dists, found, exact & ok_q, qrow, ok_q
+
+    args = (cid.reshape(-1, tile_cells), cstart.reshape(-1, tile_cells),
+            ccount.reshape(-1, tile_cells))
+    idx, dists, found, exact, qrow, ok_q = jax.lax.map(one_tile, args)
+
+    flat = lambda a: a.reshape((-1,) + a.shape[3:])
+    idx, dists, found = flat(idx), flat(dists), flat(found)
+    exact, qrow, ok_q = flat(exact), flat(qrow), flat(ok_q)
+    # scatter per-cell-slot results to sorted-row order
+    dest = jnp.where(ok_q, qrow, n)
+    out_idx = jnp.zeros((n, k), jnp.int32).at[dest].set(idx, mode="drop")
+    out_d = jnp.zeros((n, k), jnp.float32).at[dest].set(dists, mode="drop")
+    out_f = jnp.zeros((n, k), bool).at[dest].set(found, mode="drop")
+    out_e = jnp.zeros((n,), bool).at[dest].set(
+        exact & (~cells.overflow), mode="drop")
+    return NeighborResult(out_idx, out_d, out_f, out_e)
+
+
+def default_max_cells(n: int, k: int, tile_cells: int = 128) -> int:
+    """Static occupied-cell budget: expected cells ≈ n/(1.9k) for
+    auto-sized grids; 4× headroom, rounded to the tile size."""
+    mc = min(n, max(tile_cells, (4 * n) // max(int(1.9 * k), 1)))
+    return ((mc + tile_cells - 1) // tile_cells) * tile_cells
+
+
+def knn_all_points(grid: GridIndex, k: int, capacity: int | None = None,
+                   max_cells: int | None = None, tile_cells: int = 128
+                   ) -> NeighborResult:
+    """Cell-centric self-kNN for every point of the grid (sorted order)."""
+    n = grid.sorted_points.shape[0]
+    if capacity is None:
+        capacity = int(2.5 * k) + 16
+    if max_cells is None:
+        max_cells = default_max_cells(n, k, tile_cells)
+    cells = compact_cells(grid, max_cells)
+    return knn_cellwise(grid, cells, k, capacity=capacity,
+                        tile_cells=tile_cells)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def probe_grid(grid: GridIndex, tile_cells: int = 128, capacity_cap: int = 256
+               ) -> tuple[CellTable, int, int]:
+    """Host-side adaptive tuning: one full compaction + one scalar sync.
+
+    Returns (tight CellTable, capacity, max_cells) where capacity covers
+    the fullest cell (capped — overfull cells then fall to the repair
+    path via exact=False) and max_cells is the occupied count rounded to
+    the tile. The static pair is bucketed (pow2-ish) so recompiles stay
+    bounded across clouds of a family.
+    """
+    n = grid.sorted_points.shape[0]
+    probe = compact_cells(grid, n)
+    import numpy as np
+
+    num_cells = int(np.asarray(probe.num_cells))
+    max_count = int(np.asarray(probe.max_count))
+    capacity = min(_round_up(max(max_count, 4), 8), capacity_cap)
+    mc = _round_up(max(num_cells, tile_cells), tile_cells)
+    # pow2 bucket to bound recompilation across clouds
+    mc = 1 << (mc - 1).bit_length()
+    mc = min(mc, _round_up(n, tile_cells))
+    cells = CellTable(
+        probe.cell_id[:mc], probe.start[:mc], probe.count[:mc],
+        probe.num_cells, probe.num_cells > mc, probe.max_count,
+    )
+    return cells, capacity, mc
+
+
+def knn_all_points_auto(grid: GridIndex, k: int, tile_cells: int = 128
+                        ) -> NeighborResult:
+    """Self-kNN with host-probed capacity: minimal slot padding."""
+    cells, capacity, _ = probe_grid(grid, tile_cells)
+    return knn_cellwise(grid, cells, k, capacity=capacity,
+                        tile_cells=tile_cells)

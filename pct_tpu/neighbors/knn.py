@@ -170,16 +170,13 @@ def knn_cloud_grid(cloud, k: int, capacity: int | None = None, rings: int = 1,
     """
     from pct_tpu.neighbors.bruteforce import knn_bruteforce
 
-    if capacity is None:
-        capacity = int(2.5 * k) + 16
+    from pct_tpu.neighbors.cellknn import knn_all_points_auto
+
     if cell_size is None:
         cell_size = estimate_cell_size(cloud.points, cloud.num_points, k)
     grid = build_grid(cloud.points, cloud.num_points, cell_size)
-    # query in sorted order for locality, then scatter back to original order
-    res = knn_grid(
-        grid, grid.sorted_points, k, query_indices=grid.order,
-        capacity=capacity, rings=rings, tile=tile, exclude_self=True,
-    )
+    # cell-centric kernel works in sorted order; scatter back to original
+    res = knn_all_points_auto(grid, k)
     inv = jnp.zeros_like(grid.order).at[grid.order].set(
         jnp.arange(grid.order.shape[0], dtype=jnp.int32)
     )

@@ -1,0 +1,174 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pct_tpu.mesh.boundary import (
+    boundary_edges,
+    detect_boundary_loops,
+    fill_small_holes,
+    is_planar,
+)
+from pct_tpu.mesh.downsample import voxel_downsample
+from pct_tpu.mesh.energies import (
+    mesh_energies,
+    mesh_vertex_curvatures,
+    triangle_areas,
+    vertex_areas,
+)
+from pct_tpu.mesh.smooth import taubin_smooth
+
+
+def icosphere(subdiv=3):
+    """Unit icosphere via midpoint subdivision (no external deps)."""
+    t = (1 + np.sqrt(5)) / 2
+    v = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], dtype=np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], dtype=np.int64)
+    for _ in range(subdiv):
+        cache = {}
+        verts = v.tolist()
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = (np.asarray(verts[a]) + np.asarray(verts[b])) / 2
+                m /= np.linalg.norm(m)
+                cache[key] = len(verts)
+                verts.append(m.tolist())
+            return cache[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        v = np.asarray(verts)
+        f = np.asarray(nf, dtype=np.int64)
+    return v.astype(np.float32), f.astype(np.int32)
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh():
+    return icosphere(3)
+
+
+def test_triangle_and_vertex_areas(sphere_mesh):
+    v, f = sphere_mesh
+    area = np.asarray(triangle_areas(jnp.asarray(v), jnp.asarray(f)))
+    assert np.isclose(area.sum(), 4 * np.pi, rtol=0.01)  # unit sphere
+    va = np.asarray(vertex_areas(jnp.asarray(v), jnp.asarray(f)))
+    np.testing.assert_allclose(va.sum(), area.sum(), rtol=1e-5)
+
+
+def test_mesh_energies_sphere(sphere_mesh):
+    # K=1, H=1 everywhere on the unit sphere -> bending=stretching=area=4π
+    v, f = sphere_mesh
+    ones = jnp.ones(v.shape[0])
+    e = mesh_energies(jnp.asarray(v), jnp.asarray(f), ones, ones)
+    assert np.isclose(float(e.total_area), 4 * np.pi, rtol=0.01)
+    assert np.isclose(float(e.bending), 4 * np.pi, rtol=0.01)
+    assert np.isclose(float(e.stretching), 4 * np.pi, rtol=0.01)
+
+
+def test_mesh_energies_nan_tolerant(sphere_mesh):
+    v, f = sphere_mesh
+    K = np.ones(v.shape[0], np.float32)
+    K[0] = np.nan  # nansum semantics (ref utils.py:757-760)
+    e = mesh_energies(jnp.asarray(v), jnp.asarray(f), jnp.asarray(K),
+                      jnp.ones(v.shape[0]))
+    assert np.isfinite(float(e.stretching))
+
+
+def test_mesh_vertex_curvatures_sphere(sphere_mesh):
+    v, f = sphere_mesh
+    K, H = mesh_vertex_curvatures(jnp.asarray(v), jnp.asarray(f))
+    K, H = np.asarray(K), np.asarray(H)
+    # unit sphere: K = 1, |H| = 1
+    assert np.isclose(np.median(K), 1.0, rtol=0.05)
+    assert np.isclose(np.median(H), 1.0, rtol=0.05)
+    # Gauss-Bonnet: ∫K dA = 4π (angle defect is exact for closed meshes)
+    va = np.asarray(vertex_areas(jnp.asarray(v), jnp.asarray(f)))
+    assert np.isclose((K * va).sum(), 4 * np.pi, rtol=1e-4)
+
+
+def test_taubin_smooth_shrinks_noise(sphere_mesh, rng):
+    v, f = sphere_mesh
+    noisy = v + rng.standard_normal(v.shape).astype(np.float32) * 0.01
+    out = np.asarray(taubin_smooth(jnp.asarray(noisy), jnp.asarray(f),
+                                   iterations=10))
+    r_before = np.abs(np.linalg.norm(noisy, axis=1) - 1).mean()
+    r_after = np.abs(np.linalg.norm(out, axis=1) - 1).mean()
+    assert r_after < 0.7 * r_before      # noise reduced
+    # Taubin (vs plain Laplacian) must not shrink the sphere much
+    assert 0.97 < np.linalg.norm(out, axis=1).mean() < 1.05
+
+
+def test_boundary_none_on_closed(sphere_mesh):
+    v, f = sphere_mesh
+    assert boundary_edges(f).size == 0
+    assert detect_boundary_loops(f) == []
+
+
+def test_boundary_loop_detected_and_filled(sphere_mesh):
+    v, f = sphere_mesh
+    # puncture the closed sphere: remove 3 adjacent faces -> one small loop
+    f_holed = np.concatenate([f[:40], f[43:]])
+    loops = detect_boundary_loops(f_holed)
+    assert len(loops) == 1
+    # a spherical cap is only approximately planar -> loose planar_tol
+    filled, n_filled = fill_small_holes(v, f_holed, perimeter_factor=0.8,
+                                        planar_tol=0.2)
+    assert n_filled == 1
+    assert filled.shape[0] > f_holed.shape[0]
+    assert boundary_edges(filled).size == 0  # hole closed
+
+
+def test_is_planar():
+    rng = np.random.default_rng(0)
+    flat = np.c_[rng.standard_normal((50, 2)), np.zeros(50)]
+    assert is_planar(flat)
+    assert not is_planar(rng.standard_normal((50, 3)))
+
+
+def test_voxel_downsample_first():
+    pts = np.array([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [0.15, 0.1, 0.1],
+                    [2.1, 2.1, 2.1]], dtype=np.float32)
+    out, kept = voxel_downsample(jnp.asarray(pts), jnp.asarray(4),
+                                 jnp.float32(1.0), max_per_voxel=1)
+    assert int(kept) == 2
+    out = np.asarray(out)[:2]
+    np.testing.assert_allclose(sorted(out[:, 0].tolist()), [0.1, 2.1])
+
+
+def test_voxel_downsample_centroid():
+    pts = np.array([[0.0, 0.0, 0.0], [0.2, 0.0, 0.0],
+                    [5.0, 5.0, 5.0]], dtype=np.float32)
+    out, kept = voxel_downsample(jnp.asarray(pts), jnp.asarray(3),
+                                 jnp.float32(1.0), mode="centroid")
+    assert int(kept) == 2
+    out = np.asarray(out)[:2]
+    got = sorted(out[:, 0].tolist())
+    np.testing.assert_allclose(got, [0.1, 5.0], atol=1e-6)
+
+
+def test_normals_orientation_sphere(rng):
+    from pct_tpu.core import from_numpy
+    from pct_tpu.mesh.normals import estimate_and_orient_normals
+    from pct_tpu.shapes import generate_shape
+
+    pts, _ = generate_shape("sphere", 2000, radius=1.0)
+    cloud = from_numpy(pts)
+    nrm = np.asarray(estimate_and_orient_normals(cloud, k=16))[:2000]
+    # all normals consistently outward (or consistently inward): the dot
+    # with the radial direction has a single sign
+    d = np.sum(nrm * pts, axis=1)
+    frac_pos = (d > 0).mean()
+    assert frac_pos > 0.99 or frac_pos < 0.01

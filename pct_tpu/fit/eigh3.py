@@ -70,6 +70,16 @@ def _any_perp(v: jax.Array) -> jax.Array:
     return best / jnp.sqrt(jnp.maximum(n, _EPS))
 
 
+def _fro_scale(A: jax.Array) -> jax.Array:
+    """Frobenius-norm scale for pre-normalization: WITHOUT it, matrices
+    with small absolute magnitude (covariances of mm-scale neighborhoods
+    are ~1e-5) drop the cross-row quality products below any absolute
+    epsilon and every eigenvector silently falls back — the bug class
+    that produced ±z 'normals' on sphere equators."""
+    s = jnp.sqrt(jnp.sum(A * A, axis=(-2, -1)))
+    return jnp.maximum(s, 1e-30)[..., None, None]
+
+
 def eigh3(A: jax.Array):
     """(w ascending (...,3), V (...,3,3) column eigenvectors).
 
@@ -77,8 +87,11 @@ def eigh3(A: jax.Array):
     gap gets the reliable cross-row vector; the other extreme is
     orthogonalized against it (any orthonormal completion is a valid
     eigenbasis when the remaining pair is tied). Fully isotropic input
-    returns the canonical basis.
+    returns the canonical basis. Input is Frobenius-normalized so all
+    internal thresholds operate at O(1) scale.
     """
+    s = _fro_scale(A)
+    A = A / s
     w = eigvalsh3(A)
     v_lo_raw, q_lo = _eigvec_raw(A, w[..., 0])
     v_hi_raw, q_hi = _eigvec_raw(A, w[..., 2])
@@ -97,7 +110,7 @@ def eigh3(A: jax.Array):
     v_hi = jnp.where(lo_better, other, anchor)
     v_mid = jnp.cross(v_hi, v_lo)
     V = jnp.stack([v_lo, v_mid, v_hi], axis=-1)
-    return w, V
+    return w * s[..., 0], V
 
 
 def smallest_eigvec3(A: jax.Array):
@@ -105,9 +118,13 @@ def smallest_eigvec3(A: jax.Array):
 
     For plane-like neighborhoods (λ0 isolated below λ1≈λ2) the cross-row
     candidate for λ0 is reliable; the fallback only fires on isotropic
-    input, where any direction is an eigenvector.
+    input, where any direction is an eigenvector. Frobenius-normalized
+    internally (see _fro_scale).
     """
+    s = _fro_scale(A)
+    A = A / s
     w = eigvalsh3(A)
     v, q = _eigvec_raw(A, w[..., 0])
     ez = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], A.dtype), w.shape)
-    return w[..., 0], jnp.where((q > _EPS)[..., None], v, ez)
+    v = jnp.where((q > _EPS)[..., None], v, ez)
+    return w[..., 0] * s[..., 0, 0], v

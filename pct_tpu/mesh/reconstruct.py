@@ -1,0 +1,111 @@
+"""Surface reconstruction: first-party C++ Ball-Pivoting via ctypes.
+
+Replaces Open3D ``create_from_point_cloud_ball_pivoting`` + its cleanup
+passes (ref utils.py:92-106). The BPA radii recipe mirrors the
+reference's ``average_distance_using_kd_tree``: 25 radii linspaced over
+[0.025·d̄, 5·d̄] (ref utils.py:441-470) — we trim the sub-spacing radii
+(below d̄ a ball falls through the sampling and only wastes passes).
+
+The shared library builds on demand from pct_tpu/native/bpa.cpp with
+g++ (no pybind11 in this image; plain C ABI + ctypes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SRC = os.path.join(_NATIVE_DIR, "bpa.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libbpa.so")
+
+_lib = None
+
+
+def _build_lib():
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        _build_lib()
+    lib = ctypes.CDLL(_LIB)
+    lib.bpa_reconstruct.restype = ctypes.c_int
+    lib.bpa_reconstruct.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+    ]
+    lib.bpa_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+    _lib = lib
+    return lib
+
+
+def ball_pivoting(points: np.ndarray, normals: np.ndarray,
+                  radii: Sequence[float]) -> np.ndarray:
+    """(N,3) points + unit normals + ascending radii -> (T,3) int32 faces."""
+    lib = _load()
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    nrm = np.ascontiguousarray(normals, dtype=np.float32)
+    r = np.ascontiguousarray(sorted(radii), dtype=np.float32)
+    out = ctypes.POINTER(ctypes.c_int32)()
+    t = lib.bpa_reconstruct(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pts.shape[0],
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(r), ctypes.byref(out))
+    if t == 0:
+        return np.zeros((0, 3), np.int32)
+    faces = np.ctypeslib.as_array(out, shape=(t, 3)).copy()
+    lib.bpa_free(out)
+    return faces
+
+
+def bpa_radii(mean_nn_dist: float, num: int = 8) -> np.ndarray:
+    """Radii ladder from the mean 1-NN spacing. The reference linspaces
+    25 radii over [0.025·d̄, 5·d̄] (utils.py:468); radii below ~d̄ cannot
+    bridge the sampling gap, so we ladder geometrically over [d̄, 5·d̄]."""
+    return np.geomspace(mean_nn_dist, 5.0 * mean_nn_dist, num)
+
+
+def cleanup_mesh(faces: np.ndarray) -> np.ndarray:
+    """Degenerate + duplicate triangle removal (ref utils.py:104-106)."""
+    if faces.size == 0:
+        return faces
+    f = faces[(faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+              & (faces[:, 0] != faces[:, 2])]
+    key = np.sort(f, axis=1)
+    _, idx = np.unique(key, axis=0, return_index=True)
+    return f[np.sort(idx)]
+
+
+def reconstruct_cloud(points: np.ndarray, normals: Optional[np.ndarray] = None,
+                      radii: Optional[Sequence[float]] = None,
+                      num_radii: int = 8) -> np.ndarray:
+    """Full reconstruction convenience: normals (device) if absent,
+    d̄-derived radii, BPA, cleanup. Returns (T,3) faces."""
+    from pct_tpu.core.cloud import from_numpy
+    from pct_tpu.neighbors.bruteforce import mean_nn_distance
+
+    cloud = from_numpy(np.asarray(points, np.float32))
+    if normals is None:
+        from pct_tpu.mesh.normals import estimate_and_orient_normals
+
+        normals = np.asarray(
+            estimate_and_orient_normals(cloud, k=min(50, points.shape[0] - 1))
+        )[: points.shape[0]]
+    if radii is None:
+        dbar = float(mean_nn_distance(cloud.points, cloud.num_points))
+        radii = bpa_radii(dbar, num_radii)
+    faces = ball_pivoting(points, normals, radii)
+    return cleanup_mesh(faces)

@@ -1,0 +1,101 @@
+"""Mesh pipeline orchestrator: reconstruct → clean → fill → smooth →
+curvature → energies.
+
+Parity with ref utils.py:20-377 ``create_mesh_with_curvature`` +
+utils.py:702-765 ``load_mesh_compute_energies``, minus the reference's
+file-system bus (temp .txt handoff, utils.py:372-377): everything stays
+in arrays. Stages:
+
+1. normals: device covariance + wavefront orientation (utils.py:74-80)
+2. BPA radii from mean 1-NN spacing (utils.py:441-470)
+3. first-party C++ ball pivoting (utils.py:94)
+4. cleanup: degenerate/duplicate faces (utils.py:104-106)
+5. boundary loops ×2 + small-hole Delaunay fill (utils.py:151-288)
+6. Taubin smooth ×10 (utils.py:319-322)
+7. vertex curvatures: pointwise quadric fit on the vertices (the
+   reference refits a PointCloud on the mesh vertices, utils.py:481-501)
+8. face-averaged energy integrals, O(T) (utils.py:702-765)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pct_tpu.core.cloud import from_numpy
+from pct_tpu.mesh.boundary import fill_small_holes
+from pct_tpu.mesh.energies import MeshEnergies, mesh_energies
+from pct_tpu.mesh.reconstruct import bpa_radii, ball_pivoting, cleanup_mesh
+from pct_tpu.mesh.smooth import taubin_smooth
+from pct_tpu.pipeline.curvature_pipeline import curvature_pipeline
+
+
+@dataclasses.dataclass
+class MeshResult:
+    vertices: np.ndarray
+    faces: np.ndarray
+    normals: np.ndarray
+    K: np.ndarray
+    H: np.ndarray
+    energies: MeshEnergies
+    n_holes_filled: int
+
+
+def create_mesh_with_curvature(
+    points: np.ndarray,
+    k_neighbors: int = 20,
+    num_radii: int = 8,
+    smooth_iterations: int = 10,
+    fill_holes: bool = True,
+    save_mesh_path: Optional[str] = None,
+) -> MeshResult:
+    points = np.asarray(points, dtype=np.float32)
+    cloud = from_numpy(points)
+    n = int(cloud.num_points)
+
+    from pct_tpu.mesh.normals import estimate_and_orient_normals
+    from pct_tpu.neighbors.bruteforce import mean_nn_distance
+
+    normals = np.asarray(estimate_and_orient_normals(
+        cloud, k=min(50, max(4, n - 1))))[:n]
+    dbar = float(mean_nn_distance(cloud.points, cloud.num_points))
+    faces = cleanup_mesh(ball_pivoting(points, normals,
+                                       bpa_radii(dbar, num_radii)))
+
+    filled = 0
+    if fill_holes and faces.size:
+        # the reference runs its hole pass twice back-to-back (utils.py:151,236)
+        for _ in range(2):
+            faces, nf = fill_small_holes(points, faces)
+            filled += nf
+        faces = cleanup_mesh(faces.astype(np.int32))
+
+    verts = points
+    if smooth_iterations > 0 and faces.size:
+        verts = np.asarray(taubin_smooth(jnp.asarray(points),
+                                         jnp.asarray(faces),
+                                         iterations=smooth_iterations))
+
+    # curvature on the (smoothed) mesh vertices — reference semantics:
+    # a fresh PointCloud over the mesh vertices (utils.py:481-501)
+    vcloud = from_numpy(verts)
+    r = curvature_pipeline(vcloud, k=k_neighbors)
+    K = np.asarray(r.curv.K)[:n]
+    H = np.asarray(r.curv.H)[:n]
+
+    e = mesh_energies(jnp.asarray(verts), jnp.asarray(faces),
+                      jnp.asarray(K), jnp.asarray(H)) if faces.size else \
+        MeshEnergies(jnp.float32(np.nan), jnp.float32(np.nan),
+                     jnp.float32(0.0))
+    energies = MeshEnergies(*(float(x) for x in e))
+
+    if save_mesh_path:
+        from pct_tpu.io.ply import write_ply
+
+        write_ply(save_mesh_path, verts, normals, faces,
+                  vertex_props={"gaussian_curvature": K,
+                                "mean_curvature": H})
+    return MeshResult(verts, faces, normals, K, H, energies, filled)

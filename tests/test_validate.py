@@ -1,0 +1,74 @@
+import csv
+
+import numpy as np
+import pytest
+
+from pct_tpu.shapes import generate_shape
+from pct_tpu.validate.harness import (
+    percent_error,
+    validate_cloud,
+    zscore_filter,
+)
+from pct_tpu.validate.sweep import run_sweep
+
+
+def test_validate_sphere_energies():
+    pts, _ = generate_shape("sphere", 8000, radius=1.0)
+    res = validate_cloud(pts, shape="sphere", radius=1.0, k_neighbors=20,
+                         auto_k=False)
+    assert res.aborted == ""
+    # sphere: area 4π, bending 4π, stretching 4π (Gauss-Bonnet)
+    assert np.isclose(res.total_area, 4 * np.pi, rtol=0.10)
+    assert np.isclose(res.bending_energy, 4 * np.pi, rtol=0.10)
+    assert np.isclose(res.stretching_energy, 4 * np.pi, rtol=0.10)
+
+
+def test_validate_torus_stretching_zero():
+    pts, _ = generate_shape("torus", 8000, radius=1.0)
+    res = validate_cloud(pts, shape="torus", radius=1.0, k_neighbors=20,
+                         auto_k=False)
+    # Gauss-Bonnet: ∫K dA = 0 for a torus; compare against bending scale
+    assert abs(res.stretching_energy) < 0.15 * res.bending_energy
+
+
+def test_validate_artifacts(tmp_path):
+    pts, _ = generate_shape("sphere", 2000, radius=1.0)
+    res = validate_cloud(pts, shape="sphere", variant="Unperturbed",
+                         k_neighbors=12, auto_k=False,
+                         output_dir=str(tmp_path))
+    files = {p.name for p in tmp_path.iterdir()}
+    assert "sphere_Unperturbed_2000_gaussian.npy" in files
+    assert "sphere_Unperturbed_2000_mean.npy" in files
+    assert "sphere_Unperturbed_2000_with_curvatures.ply" in files
+
+
+def test_zscore_filter():
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(1000)
+    v[:5] = 100.0  # gross outliers
+    keep = zscore_filter(v)
+    assert not keep[:5].any()
+    assert keep[5:].mean() > 0.95
+
+
+def test_percent_error():
+    assert percent_error(11.0, 10.0) == pytest.approx(10.0)
+    assert percent_error(0.02, 0.0) == pytest.approx(2.0)  # zero-division path
+    assert percent_error(1.0, float("nan")) is None
+
+
+def test_sweep_incremental_csv(tmp_path):
+    out = tmp_path / "inc.csv"
+    backup = tmp_path / "backup.csv"
+    rows = run_sweep([3000], [1.0], ["sphere", "cylinder"],
+                     out_csv=str(out), backup_csv=str(backup),
+                     k_neighbors=12)
+    assert len(rows) == 2
+    with open(out) as f:
+        got = list(csv.DictReader(f))
+    assert len(got) == 2
+    assert {r["shape"] for r in got} == {"sphere", "cylinder"}
+    assert all(r["status"] == "ok" for r in got)
+    # cylinder stretching theory is 0 -> percent-error fallback still a number
+    cyl = [r for r in got if r["shape"] == "cylinder"][0]
+    assert float(cyl["area_error_pct"]) < 25.0

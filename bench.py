@@ -40,14 +40,14 @@ def main():
     # one-time capacity probe (static-shape tuning; reused across runs of
     # the same cloud family)
     cell0 = estimate_cell_size(cloud.points, cloud.num_points, K_NEIGHBORS)
-    _, capacity, mc = probe_grid(build_grid(cloud.points, cloud.num_points,
-                                            cell0))
+    _, capacity, mc, run_cap = probe_grid(
+        build_grid(cloud.points, cloud.num_points, cell0))
 
     def run():
         cell = estimate_cell_size(cloud.points, cloud.num_points, K_NEIGHBORS)
         res = fused_curvature(cloud.points, cloud.num_points, cell,
                               k=K_NEIGHBORS, capacity=capacity, max_cells=mc,
-                              method="explicit")
+                              run_cap=run_cap, method="explicit")
         return res
 
     def sync(res):

@@ -85,17 +85,23 @@ def sharded_curvature(
                        exclude_self=True)
         curv, normal = _curvature_of_neighborhoods(
             pts_rep, q_shard, res.indices, method, "exact")
-        # global reductions over the mesh axis (ICI psum)
+        # global reductions over the mesh axis (ICI psum); NaN-tolerant like
+        # the reference's census (a handful of degenerate fits must not
+        # poison the global statistics)
         valid = qidx_shard < num_points
-        cnt = jax.lax.psum(jnp.sum(valid.astype(jnp.float32)), POINTS_AXIS)
-        cnt = jnp.maximum(cnt, 1.0)
+        finite = valid & jnp.isfinite(curv.K) & jnp.isfinite(curv.H)
+        cnt = jnp.maximum(
+            jax.lax.psum(jnp.sum(finite.astype(jnp.float32)), POINTS_AXIS),
+            1.0)
         m_absK = jax.lax.psum(
-            jnp.sum(jnp.where(valid, jnp.abs(curv.K), 0.0)), POINTS_AXIS) / cnt
+            jnp.sum(jnp.where(finite, jnp.abs(curv.K), 0.0)), POINTS_AXIS) / cnt
         m_absH = jax.lax.psum(
-            jnp.sum(jnp.where(valid, jnp.abs(curv.H), 0.0)), POINTS_AXIS) / cnt
+            jnp.sum(jnp.where(finite, jnp.abs(curv.H), 0.0)), POINTS_AXIS) / cnt
+        vcnt = jnp.maximum(
+            jax.lax.psum(jnp.sum(valid.astype(jnp.float32)), POINTS_AXIS), 1.0)
         nan_frac = jax.lax.psum(
-            jnp.sum(jnp.where(valid & jnp.isnan(curv.K), 1.0, 0.0)),
-            POINTS_AXIS) / cnt
+            jnp.sum(jnp.where(valid & (~jnp.isfinite(curv.K)), 1.0, 0.0)),
+            POINTS_AXIS) / vcnt
         stats = ShardedStats(m_absK, m_absH, nan_frac)
         return curv, normal, stats
 

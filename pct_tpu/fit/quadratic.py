@@ -19,6 +19,49 @@ import jax.numpy as jnp
 _RIDGE = 1e-7
 
 
+def cholesky_solve6(G: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Batched symmetric-positive-definite 6×6 solve, fully unrolled.
+
+    XLA's batched ``linalg.solve`` lowers to a pivoted LU whose inner
+    control flow dominates the curvature pass on TPU (~1.7 s/1M points);
+    an unrolled Cholesky is pure element-wise VPU math across the batch.
+    G must be SPD (the ridge in fit_quadratic guarantees it).
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    invd = [None] * n
+    for j in range(n):
+        s = G[..., j, j]
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        # dead-column drop: exactly singular G (perfectly collinear
+        # lattice neighborhoods) must behave like lstsq's min-norm
+        # solution (component -> 0), not produce inf-inf = NaN
+        dead = s < 1e-10 * jnp.abs(G[..., j, j]) + 1e-30
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        invd[j] = jnp.where(dead, 0.0, 1.0 / L[j][j])
+        for i in range(j + 1, n):
+            s = G[..., i, j]
+            for t in range(j):
+                s = s - L[i][t] * L[j][t]
+            L[i][j] = s * invd[j]
+    # forward substitution L y = rhs
+    y = [None] * n
+    for i in range(n):
+        s = rhs[..., i]
+        for t in range(i):
+            s = s - L[i][t] * y[t]
+        y[i] = s * invd[i]
+    # back substitution Lᵀ x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for t in range(i + 1, n):
+            s = s - L[t][i] * x[t]
+        x[i] = s * invd[i]
+    return jnp.stack(x, axis=-1)
+
+
 def quadratic_design(ab: jax.Array) -> jax.Array:
     """(..., k, 2) -> (..., k, 6) design matrix [a², b², ab, a, b, 1]."""
     a, b = ab[..., 0], ab[..., 1]
@@ -56,7 +99,7 @@ def fit_quadratic(rotated: jax.Array, mask: jax.Array | None = None):
                      precision=jax.lax.Precision.HIGHEST)[..., 0]
     trace = jnp.trace(G, axis1=-2, axis2=-1)
     G = G + (_RIDGE * trace[..., None, None] / 6.0) * jnp.eye(6, dtype=G.dtype)
-    c = jnp.linalg.solve(G, rhs[..., None])[..., 0]
+    c = cholesky_solve6(G, rhs)
     # unscale: z = Ã(a/sa)² + ... ⇒ A = Ã/sa², B = B̃/sb², C = C̃/(sa·sb),
     # D = D̃/sa, E = Ẽ/sb, F = F̃
     scale_back = jnp.concatenate([

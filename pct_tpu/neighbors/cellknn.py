@@ -69,23 +69,30 @@ def _decode(cell_id):
     return ix, iy, iz
 
 
-@partial(jax.jit, static_argnames=("k", "capacity", "tile_cells"))
+@partial(jax.jit, static_argnames=("k", "capacity", "tile_cells", "run_cap",
+                                   "original_ids"))
 def knn_cellwise(
     grid: GridIndex,
     cells: CellTable,
     k: int,
     capacity: int = 64,
     tile_cells: int = 128,
+    run_cap: int | None = None,
+    original_ids: bool = True,
 ) -> NeighborResult:
     """Self-excluded kNN for every point, rows in SORTED order.
 
-    ``indices`` are original point ids (grid.order applied); a row's
-    query is grid.sorted_points[row]. ``capacity`` is the max points
-    considered per cell (run length cap = 3·capacity per run).
+    ``indices`` are original point ids (grid.order applied) when
+    ``original_ids``; otherwise SORTED-space row ids (skips an 84M-element
+    gather — the fused pipeline gathers neighborhoods from sorted_points
+    directly). A row's query is grid.sorted_points[row]. ``capacity`` is
+    the max points considered per cell; ``run_cap`` caps each 3-cell
+    x-run (default 3·capacity; probe_grid supplies the exact maximum).
     """
     n = grid.sorted_points.shape[0]
     mc = cells.cell_id.shape[0]
-    run_cap = 3 * capacity
+    if run_cap is None:
+        run_cap = 3 * capacity
     pad_tiles = (-mc) % tile_cells
 
     cid = jnp.pad(cells.cell_id, (0, pad_tiles), constant_values=PAD_ID)
@@ -146,9 +153,10 @@ def knn_cellwise(
         neg, pos = jax.lax.top_k(-d2, k)                         # (T, C, k)
         dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
         found = jnp.isfinite(neg)
-        cand_sorted = jnp.take_along_axis(
-            jnp.broadcast_to(cand[:, None, :], d2.shape), pos, axis=-1)
-        idx_orig = grid.order[cand_sorted]
+        # gather winning candidate rows WITHOUT materializing (T, C, M)
+        t_ix = jnp.arange(cand.shape[0], dtype=jnp.int32)[:, None, None]
+        cand_sorted = cand[t_ix, pos]
+        idx_orig = grid.order[cand_sorted] if original_ids else cand_sorted
         # --- exactness: per-query coverage radius within the 3³ window ---
         qpts = qpts_l + corner[:, None, :]
         coords = jnp.stack([ix, iy, iz], axis=-1)                # (T, 3)
@@ -207,15 +215,36 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@jax.jit
+def _max_run_length(grid: GridIndex, cells: CellTable) -> jax.Array:
+    """Longest 3-cell x-run over all occupied cells' 9 (dy,dz) offsets."""
+    cid = cells.cell_id
+    ix, iy, iz = _decode(jnp.where(cid == PAD_ID, 0, cid))
+    dyz = jnp.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
+                    dtype=jnp.int32)
+    ny = iy[:, None] + dyz[None, :, 0]
+    nz = iz[:, None] + dyz[None, :, 1]
+    ok = ((ny >= 0) & (ny < grid.dims[1]) & (nz >= 0) & (nz < grid.dims[2])
+          & (cid != PAD_ID)[:, None])
+    base = ny * MAXDIM + nz * MAXDIM * MAXDIM
+    lo = base + jnp.maximum(ix - 1, 0)[:, None]
+    hi = base + jnp.minimum(ix + 1, grid.dims[0] - 1)[:, None]
+    rs = jnp.searchsorted(grid.sorted_ids, lo)
+    re = jnp.searchsorted(grid.sorted_ids, hi + 1)
+    return jnp.max(jnp.where(ok, re - rs, 0))
+
+
 def probe_grid(grid: GridIndex, tile_cells: int = 128, capacity_cap: int = 256
-               ) -> tuple[CellTable, int, int]:
+               ) -> tuple[CellTable, int, int, int]:
     """Host-side adaptive tuning: one full compaction + one scalar sync.
 
-    Returns (tight CellTable, capacity, max_cells) where capacity covers
-    the fullest cell (capped — overfull cells then fall to the repair
-    path via exact=False) and max_cells is the occupied count rounded to
-    the tile. The static pair is bucketed (pow2-ish) so recompiles stay
-    bounded across clouds of a family.
+    Returns (tight CellTable, capacity, max_cells, run_cap): capacity
+    covers the fullest cell (capped — overfull cells then fall to the
+    repair path via exact=False), max_cells is the occupied count rounded
+    to the tile, run_cap the true longest candidate run (so the kernel
+    carries zero padding waste in the candidate axis). Statics are
+    bucketed (pow2 / multiples of 8) so recompiles stay bounded across
+    clouds of a family.
     """
     n = grid.sorted_points.shape[0]
     probe = compact_cells(grid, n)
@@ -232,12 +261,14 @@ def probe_grid(grid: GridIndex, tile_cells: int = 128, capacity_cap: int = 256
         probe.cell_id[:mc], probe.start[:mc], probe.count[:mc],
         probe.num_cells, probe.num_cells > mc, probe.max_count,
     )
-    return cells, capacity, mc
+    run_cap = int(np.asarray(_max_run_length(grid, cells)))
+    run_cap = min(_round_up(max(run_cap, 4), 8), 3 * capacity)
+    return cells, capacity, mc, run_cap
 
 
 def knn_all_points_auto(grid: GridIndex, k: int, tile_cells: int = 128
                         ) -> NeighborResult:
     """Self-kNN with host-probed capacity: minimal slot padding."""
-    cells, capacity, _ = probe_grid(grid, tile_cells)
+    cells, capacity, _, run_cap = probe_grid(grid, tile_cells)
     return knn_cellwise(grid, cells, k, capacity=capacity,
-                        tile_cells=tile_cells)
+                        tile_cells=tile_cells, run_cap=run_cap)

@@ -3,9 +3,14 @@
 `curvature_pipeline` composes separately-jitted stages, which costs one
 host↔device round-trip per stage (expensive over a TPU tunnel) and
 blocks XLA from scheduling across stages. This module traces the WHOLE
-chain — including the grid sort and the inverse permutation — as one
-XLA program: two dispatches total per cloud (cell-size estimate +
-pipeline), zero host syncs in between, everything resident in HBM.
+chain — including the grid sort — as one XLA program: zero host syncs,
+everything resident in HBM.
+
+Perf-critical layout choice: the kNN kernel emits SORTED-space neighbor
+ids and the curvature stage gathers from ``grid.sorted_points`` — the
+original-id translation (an 84M-element gather at 1M×k=20) never
+happens. Only the final (N,)-sized outputs are scattered back to the
+caller's point order.
 
 This is the north-star benchmark path (BASELINE.json: 1M-point kNN +
 quadric-fit curvature < 1 s on one chip).
@@ -29,11 +34,10 @@ from pct_tpu.neighbors.grid import build_grid
 
 
 class FusedResult(NamedTuple):
-    curv: Curvatures
-    normals: jax.Array
+    curv: Curvatures          # per-point K/H/k1/k2/H², caller's point order
+    normals: jax.Array        # (N, 3) sign-fixed normals
     exact: jax.Array          # (N,) certified-exact kNN per point
-    neighbor_indices: jax.Array
-    neighbor_dists: jax.Array
+    kth_dist: jax.Array       # (N,) distance to the kth neighbor
 
 
 def _curvature_of_neighborhoods(points, queries, idx, method, implicit_mode):
@@ -50,7 +54,8 @@ def _curvature_of_neighborhoods(points, queries, idx, method, implicit_mode):
 
 
 @partial(jax.jit, static_argnames=("k", "capacity", "max_cells", "tile_cells",
-                                   "curv_tile", "method", "implicit_mode"))
+                                   "run_cap", "curv_tile", "method",
+                                   "implicit_mode"))
 def fused_curvature(
     points: jax.Array,
     num_points: jax.Array,
@@ -59,18 +64,18 @@ def fused_curvature(
     capacity: int | None = None,
     max_cells: int | None = None,
     tile_cells: int = 128,
+    run_cap: int | None = None,
     curv_tile: int = 16384,
     method: str = "explicit",
     implicit_mode: str = "exact",
 ) -> FusedResult:
     """One XLA program: everything from raw padded points to curvatures.
 
-    Neighbor search is the cell-centric kernel (candidates fetched once
-    per occupied cell, MXU distance matmuls). Queries run in grid-sorted
-    order (spatially coherent gathers), results are scattered back to
-    the original point order at the end. No exactness repair pass inside
-    (that needs a host decision) — the ``exact`` output lets the caller
-    audit coverage.
+    Static capacities (``capacity``, ``max_cells``, ``run_cap``) default
+    to conservative heuristics; pass the values from
+    ``neighbors.cellknn.probe_grid`` for a tuned zero-waste layout. No
+    exactness repair pass inside (that needs a host decision) — the
+    ``exact`` output lets the caller audit coverage.
     """
     if capacity is None:
         capacity = int(2.5 * k) + 16
@@ -80,25 +85,28 @@ def fused_curvature(
     grid = build_grid(points, num_points, cell_size)
     cells = compact_cells(grid, max_cells)
     res = knn_cellwise(grid, cells, k, capacity=capacity,
-                       tile_cells=tile_cells)
+                       tile_cells=tile_cells, run_cap=run_cap,
+                       original_ids=False)
 
-    # fused curvature over sorted queries, tiled for VMEM-sized working sets
+    # fused curvature over sorted queries, tiled for bounded working sets
     pad = (-n) % curv_tile
     q_p = jnp.pad(grid.sorted_points, ((0, pad), (0, 0)))
     i_p = jnp.pad(res.indices, ((0, pad), (0, 0)))
 
     def one_tile(args):
         q, idx = args
-        return _curvature_of_neighborhoods(points, q, idx, method, implicit_mode)
+        return _curvature_of_neighborhoods(grid.sorted_points, q, idx,
+                                           method, implicit_mode)
 
     curv, normals = jax.lax.map(
-        one_tile, (q_p.reshape(-1, curv_tile, 3), i_p.reshape(-1, curv_tile, k))
+        one_tile, (q_p.reshape(-1, curv_tile, 3),
+                   i_p.reshape(-1, curv_tile, k))
     )
     unpad = lambda a: a.reshape((-1,) + a.shape[2:])[:n]
     curv = Curvatures(*[unpad(c) for c in curv])
     normals = unpad(normals)
 
-    # scatter back to original order
+    # scatter the (N,)-sized outputs back to the caller's point order
     def unsort(a):
         return jnp.zeros_like(a).at[grid.order].set(a)
 
@@ -106,6 +114,5 @@ def fused_curvature(
         curv=Curvatures(*[unsort(c) for c in curv]),
         normals=unsort(normals),
         exact=unsort(res.exact),
-        neighbor_indices=unsort(res.indices),
-        neighbor_dists=unsort(res.dists),
+        kth_dist=unsort(res.dists[:, -1]),
     )

@@ -69,8 +69,16 @@ def _decode(cell_id):
     return ix, iy, iz
 
 
+def default_select_impl() -> str:
+    """Pallas on real TPUs, XLA elsewhere (CPU tests use the XLA path;
+    the Pallas kernel itself is tested via interpret mode)."""
+    import jax
+
+    return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+
+
 @partial(jax.jit, static_argnames=("k", "capacity", "tile_cells", "run_cap",
-                                   "original_ids"))
+                                   "original_ids", "lean", "select_impl"))
 def knn_cellwise(
     grid: GridIndex,
     cells: CellTable,
@@ -79,6 +87,8 @@ def knn_cellwise(
     tile_cells: int = 128,
     run_cap: int | None = None,
     original_ids: bool = True,
+    lean: bool = False,
+    select_impl: str | None = None,
 ) -> NeighborResult:
     """Self-excluded kNN for every point, rows in SORTED order.
 
@@ -89,6 +99,8 @@ def knn_cellwise(
     the max points considered per cell; ``run_cap`` caps each 3-cell
     x-run (default 3·capacity; probe_grid supplies the exact maximum).
     """
+    if select_impl is None:
+        select_impl = default_select_impl()
     n = grid.sorted_points.shape[0]
     mc = cells.cell_id.shape[0]
     if run_cap is None:
@@ -131,34 +143,43 @@ def knn_cellwise(
         cand = cand.reshape(T, 9 * run_cap)
         ok_cand = ok_cand.reshape(T, 9 * run_cap)
         cpts = grid.sorted_points[cand]                          # (T, M, 3)
-        # --- cell-local origin for f32-safe MXU distance expansion ---
-        corner = grid.origin[None, :] + grid.cell_size * jnp.stack(
-            [ix, iy, iz], axis=-1).astype(jnp.float32)           # (T, 3)
-        cpts_l = cpts - corner[:, None, :]
         qrow = jnp.minimum(start[:, None] + jnp.arange(capacity,
                                                        dtype=jnp.int32), n - 1)
         ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
-        qpts_l = grid.sorted_points[qrow] - corner[:, None, :]    # (T, C, 3)
-        # --- distances: |q|² + |c|² - 2 q·cᵀ on the MXU ---
-        q2 = jnp.sum(qpts_l * qpts_l, axis=-1)                   # (T, C)
-        c2 = jnp.sum(cpts_l * cpts_l, axis=-1)                   # (T, M)
-        cross = jnp.einsum("tcd,tmd->tcm", qpts_l, cpts_l,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-        d2 = jnp.maximum(q2[:, :, None] + c2[:, None, :] - 2.0 * cross, 0.0)
-        d2 = jnp.where(ok_cand[:, None, :], d2, inf)
-        # self-exclusion: candidate sorted-pos == query sorted-pos
-        self_m = cand[:, None, :] == qrow[:, :, None]
-        d2 = jnp.where(self_m, inf, d2)
-        neg, pos = jax.lax.top_k(-d2, k)                         # (T, C, k)
-        dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
-        found = jnp.isfinite(neg)
+        qpts = grid.sorted_points[qrow]                          # (T, C, 3)
+        if select_impl == "pallas" or select_impl == "pallas_interpret":
+            from pct_tpu.ops.pallas_select import knn_select
+
+            dists, pos = knn_select(
+                qpts, cpts, cand, qrow, ok_cand.astype(jnp.int32), k,
+                interpret=(select_impl == "pallas_interpret"))
+            found = dists < 1e18     # kernel backs missing slots with ~3e38
+        else:
+            # --- XLA path: MXU distance expansion in cell-local coords ---
+            corner = grid.origin[None, :] + grid.cell_size * jnp.stack(
+                [ix, iy, iz], axis=-1).astype(jnp.float32)       # (T, 3)
+            cpts_l = cpts - corner[:, None, :]
+            qpts_l = qpts - corner[:, None, :]
+            q2 = jnp.sum(qpts_l * qpts_l, axis=-1)               # (T, C)
+            c2 = jnp.sum(cpts_l * cpts_l, axis=-1)               # (T, M)
+            cross = jnp.einsum("tcd,tmd->tcm", qpts_l, cpts_l,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            d2 = jnp.maximum(q2[:, :, None] + c2[:, None, :] - 2.0 * cross,
+                             0.0)
+            d2 = jnp.where(ok_cand[:, None, :], d2, inf)
+            # self-exclusion: candidate sorted-pos == query sorted-pos
+            self_m = cand[:, None, :] == qrow[:, :, None]
+            d2 = jnp.where(self_m, inf, d2)
+            neg, pos = jax.lax.top_k(-d2, k)                     # (T, C, k)
+            dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
+            found = jnp.isfinite(neg)
         # gather winning candidate rows WITHOUT materializing (T, C, M)
         t_ix = jnp.arange(cand.shape[0], dtype=jnp.int32)[:, None, None]
         cand_sorted = cand[t_ix, pos]
         idx_orig = grid.order[cand_sorted] if original_ids else cand_sorted
         # --- exactness: per-query coverage radius within the 3³ window ---
-        qpts = qpts_l + corner[:, None, :]
+        # (qpts already in world coordinates)
         coords = jnp.stack([ix, iy, iz], axis=-1)                # (T, 3)
         lo_edge = grid.origin[None, :] + (coords - 1).astype(jnp.float32) \
             * grid.cell_size
@@ -183,10 +204,16 @@ def knn_cellwise(
     # scatter per-cell-slot results to sorted-row order
     dest = jnp.where(ok_q, qrow, n)
     out_idx = jnp.zeros((n, k), jnp.int32).at[dest].set(idx, mode="drop")
-    out_d = jnp.zeros((n, k), jnp.float32).at[dest].set(dists, mode="drop")
-    out_f = jnp.zeros((n, k), bool).at[dest].set(found, mode="drop")
     out_e = jnp.zeros((n,), bool).at[dest].set(
         exact & (~cells.overflow), mode="drop")
+    if lean:
+        # the fused pipeline only needs indices + kth distance: skip the
+        # (n, k) dists/found scatters (~170M elements at 1M×k=20)
+        kth = jnp.zeros((n,), jnp.float32).at[dest].set(dists[:, -1],
+                                                        mode="drop")
+        return NeighborResult(out_idx, kth[:, None], None, out_e)
+    out_d = jnp.zeros((n, k), jnp.float32).at[dest].set(dists, mode="drop")
+    out_f = jnp.zeros((n, k), bool).at[dest].set(found, mode="drop")
     return NeighborResult(out_idx, out_d, out_f, out_e)
 
 

@@ -86,7 +86,7 @@ def fused_curvature(
     cells = compact_cells(grid, max_cells)
     res = knn_cellwise(grid, cells, k, capacity=capacity,
                        tile_cells=tile_cells, run_cap=run_cap,
-                       original_ids=False)
+                       original_ids=False, lean=True)
 
     # fused curvature over sorted queries, tiled for bounded working sets
     pad = (-n) % curv_tile
@@ -114,5 +114,5 @@ def fused_curvature(
         curv=Curvatures(*[unsort(c) for c in curv]),
         normals=unsort(normals),
         exact=unsort(res.exact),
-        kth_dist=unsort(res.dists[:, -1]),
+        kth_dist=unsort(res.dists[:, 0]),   # lean mode: (n, 1) kth distance
     )

@@ -1,0 +1,51 @@
+"""Pallas kernel tests (interpreter mode on the CPU test mesh)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pct_tpu.core import from_numpy
+from pct_tpu.neighbors.cellknn import compact_cells, knn_cellwise, probe_grid
+from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+from pct_tpu.ops.pallas_select import knn_select
+from pct_tpu.shapes import generate_shape
+
+
+def test_knn_select_matches_numpy(rng):
+    T, C, M, K = 6, 8, 48, 5
+    q = rng.standard_normal((T, C, 3)).astype(np.float32)
+    p = rng.standard_normal((T, M, 3)).astype(np.float32)
+    cand = rng.integers(0, 500, (T, M)).astype(np.int32)
+    qrow = cand[:, :C].copy()          # force self-exclusion hits
+    valid = (rng.random((T, M)) < 0.85).astype(np.int32)
+    d, pos = knn_select(jnp.asarray(q), jnp.asarray(p), jnp.asarray(cand),
+                        jnp.asarray(qrow), jnp.asarray(valid), K,
+                        interpret=True)
+    d, pos = np.asarray(d), np.asarray(pos)
+    d2 = ((q[:, :, None, :] - p[:, None, :, :]) ** 2).sum(-1)
+    ok = (valid[:, None, :] > 0) & (cand[:, None, :] != qrow[:, :, None])
+    ref = np.sort(np.where(ok, d2, np.inf), axis=-1)[:, :, :K] ** 0.5
+    fin = np.isfinite(ref)
+    np.testing.assert_allclose(d[fin], ref[fin], rtol=1e-5, atol=1e-6)
+    # positions index the same distances
+    row = np.take_along_axis(np.where(ok, d2, np.inf), pos, axis=-1) ** 0.5
+    np.testing.assert_allclose(row[fin], ref[fin], rtol=1e-5, atol=1e-6)
+    # missing slots marked non-finite-ish
+    assert (d[~fin] > 1e18).all()
+
+
+def test_cellwise_pallas_path_matches_xla():
+    pts, _ = generate_shape("torus", 3000, radius=1.0)
+    cloud = from_numpy(pts)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, 12)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    cells, cap, mc, run_cap = probe_grid(grid)
+    r_x = knn_cellwise(grid, cells, 12, capacity=cap, run_cap=run_cap,
+                       select_impl="xla")
+    r_p = knn_cellwise(grid, cells, 12, capacity=cap, run_cap=run_cap,
+                       select_impl="pallas_interpret")
+    n = 3000
+    np.testing.assert_allclose(np.asarray(r_p.dists)[:n],
+                               np.asarray(r_x.dists)[:n],
+                               rtol=1e-4, atol=1e-6)
+    assert np.asarray(r_p.exact)[:n].all() == np.asarray(r_x.exact)[:n].all()

@@ -49,3 +49,29 @@ def test_cellwise_pallas_path_matches_xla():
                                np.asarray(r_x.dists)[:n],
                                rtol=1e-4, atol=1e-6)
     assert np.asarray(r_p.exact)[:n].all() == np.asarray(r_x.exact)[:n].all()
+
+
+def test_band_kernel_interpret_matches_xla():
+    """DMA-band kNN (experimental: TPU-compile blocked on Mosaic DMA
+    alignment; semantics locked in by this interpret-mode test)."""
+    import jax.numpy as jnp
+
+    from pct_tpu.neighbors.cellknn import build_row_blocks, knn_cellwise_band
+    from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+
+    pts, _ = generate_shape("torus", 2500, radius=1.0)
+    cloud = from_numpy(pts)
+    k = 10
+    cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    cells, cap, mc, run_cap = probe_grid(grid)
+    blocks = jnp.asarray(build_row_blocks(cells, 8))
+    ref = knn_cellwise(grid, cells, k, capacity=cap, run_cap=run_cap,
+                       select_impl="xla", original_ids=False, lean=True)
+    band = knn_cellwise_band(grid, cells, blocks, k, cap, bc=8,
+                             interpret=True)
+    n = 2500
+    np.testing.assert_allclose(np.asarray(band.dists)[:n, 0],
+                               np.asarray(ref.dists)[:n, 0],
+                               rtol=1e-5, atol=1e-7)
+    assert np.asarray(band.exact)[:n].all()

@@ -1,0 +1,11 @@
+from pct_tpu.distributed.sharding import (  # noqa: F401
+    POINTS_AXIS,
+    ShardedResult,
+    make_mesh,
+    sharded_curvature,
+)
+from pct_tpu.distributed.slab import (  # noqa: F401
+    SlabResult,
+    slab_curvature,
+    slab_curvature_unsorted,
+)

@@ -1,6 +1,7 @@
 from pct_tpu.io.txt import read_txt, write_txt  # noqa: F401
 from pct_tpu.io.ply import read_ply, write_ply, strip_normals, PlyData  # noqa: F401
 from pct_tpu.io.asc import read_asc, voxel_downsample_first, convert_asc_to_ply  # noqa: F401
+from pct_tpu.io.vtk import read_vtk, write_vtk  # noqa: F401
 
 
 def load_points(path: str, **kw):

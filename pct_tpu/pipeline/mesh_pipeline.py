@@ -93,9 +93,15 @@ def create_mesh_with_curvature(
     energies = MeshEnergies(*(float(x) for x in e))
 
     if save_mesh_path:
-        from pct_tpu.io.ply import write_ply
+        scalars = {"gaussian_curvature": K, "mean_curvature": H}
+        if save_mesh_path.lower().endswith(".vtk"):
+            # mesh_snaps/*.vtk artifact parity (ref utils.py:356-366)
+            from pct_tpu.io.vtk import write_vtk
 
-        write_ply(save_mesh_path, verts, normals, faces,
-                  vertex_props={"gaussian_curvature": K,
-                                "mean_curvature": H})
+            write_vtk(save_mesh_path, verts, faces, scalars)
+        else:
+            from pct_tpu.io.ply import write_ply
+
+            write_ply(save_mesh_path, verts, normals, faces,
+                      vertex_props=scalars)
     return MeshResult(verts, faces, normals, K, H, energies, filled)

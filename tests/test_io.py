@@ -77,3 +77,17 @@ def test_asc_convert(tmp_path, rng):
     assert n == 50
     d = read_ply(str(tmp_path / "s.ply"))
     np.testing.assert_allclose(d.points, data[:, :3], rtol=1e-5, atol=1e-6)
+
+
+def test_vtk_roundtrip(tmp_path, pts, rng):
+    from pct_tpu.io.vtk import read_vtk, write_vtk
+
+    faces = rng.integers(0, 100, size=(30, 3)).astype(np.int32)
+    K = rng.standard_normal(100).astype(np.float32)
+    p = tmp_path / "m.vtk"
+    write_vtk(str(p), pts, faces, {"gaussian_curvature": K})
+    pts2, faces2, scalars = read_vtk(str(p))
+    np.testing.assert_allclose(pts2, pts, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(faces2, faces)
+    np.testing.assert_allclose(scalars["gaussian_curvature"], K,
+                               rtol=1e-5, atol=1e-6)

@@ -83,11 +83,47 @@ def generate_egg_carton(n: int) -> np.ndarray:
     return np.stack([x, y, z], axis=1).astype(np.float32)
 
 
+def generate_mobius(n: int, rng: Optional[np.random.Generator] = None,
+                    width: float = 0.4) -> np.ndarray:
+    """Möbius strip (non-orientable): the reference's orientation stress
+    case (BASELINE.json configs: mobius_strip.txt). Centerline radius 1,
+    half-twist; u ∈ [0, 2π), v ∈ [-width, width]."""
+    rng = rng or np.random.default_rng(0)
+    u = rng.uniform(0, 2 * np.pi, n)
+    v = rng.uniform(-width, width, n)
+    x = (1 + v * np.cos(u / 2)) * np.cos(u)
+    y = (1 + v * np.cos(u / 2)) * np.sin(u)
+    z = v * np.sin(u / 2)
+    return np.stack([x, y, z], axis=1).astype(np.float32)
+
+
+def generate_dupin_cyclide(n: int, rng: Optional[np.random.Generator] = None,
+                           a: float = 1.0, b: float = 0.98, d: float = 0.3
+                           ) -> np.ndarray:
+    """Dupin cyclide (ring type): strongly non-uniform sampling density —
+    the reference's kNN/density stress case (BASELINE.json configs:
+    dupin_cyclide.txt). Standard parametrization with c = √(a²−b²);
+    uniform (u, v) sampling concentrates points near the pinch, exactly
+    the non-uniformity the certificate/repair machinery must handle."""
+    rng = rng or np.random.default_rng(0)
+    c = np.sqrt(max(a * a - b * b, 1e-12))
+    u = rng.uniform(0, 2 * np.pi, n)
+    v = rng.uniform(0, 2 * np.pi, n)
+    cu, su, cv, sv = np.cos(u), np.sin(u), np.cos(v), np.sin(v)
+    denom = a - c * cu * cv
+    x = (d * (c - a * cu * cv) + b * b * cu) / denom
+    y = (b * su * (a - d * cv)) / denom
+    z = (b * sv * (c * cu - d)) / denom
+    return np.stack([x, y, z], axis=1).astype(np.float32)
+
+
 _GEN = {
     "sphere": lambda n, rng: generate_sphere(n),
     "cylinder": lambda n, rng: generate_cylinder(n),
     "torus": generate_torus,
     "egg_carton": lambda n, rng: generate_egg_carton(n),
+    "mobius": generate_mobius,
+    "dupin_cyclide": generate_dupin_cyclide,
 }
 
 
@@ -112,9 +148,12 @@ def generate_shape(
     pts = _GEN[shape](num_points, rng) * np.float32(radius)
     if perturbation_strength <= 0:
         return pts, pts.copy()
-    from pct_tpu.shapes.analytic import analytic_curvatures
+    if shape in SHAPES:
+        from pct_tpu.shapes.analytic import analytic_curvatures
 
-    _, H = analytic_curvatures(shape, pts / np.float32(radius), radius=1.0)
-    amp = perturbation_strength * radius / (1.0 + np.abs(H))
+        _, H = analytic_curvatures(shape, pts / np.float32(radius), radius=1.0)
+        amp = perturbation_strength * radius / (1.0 + np.abs(H))
+    else:  # stress shapes (mobius, dupin_cyclide): unmodulated noise
+        amp = np.full(pts.shape[0], perturbation_strength * radius)
     noise = rng.standard_normal(pts.shape).astype(np.float32)
     return pts, (pts + amp[:, None].astype(np.float32) * noise).astype(np.float32)

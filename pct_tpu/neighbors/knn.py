@@ -78,7 +78,8 @@ def _gather_candidates(grid: GridIndex, q: jax.Array, capacity: int, rings: int)
         overflow, _coverage_radius(q, qc, grid, rings))
 
 
-@partial(jax.jit, static_argnames=("k", "capacity", "rings", "tile", "exclude_self"))
+@partial(jax.jit, static_argnames=("k", "capacity", "rings", "tile",
+                                   "exclude_self", "_with_cert_parts"))
 def knn_grid(
     grid: GridIndex,
     queries: jax.Array,
@@ -88,6 +89,7 @@ def knn_grid(
     rings: int = 1,
     tile: int = 1024,
     exclude_self: bool = True,
+    _with_cert_parts: bool = False,
 ) -> NeighborResult:
     """Batched kNN against a GridIndex.
 
@@ -115,15 +117,17 @@ def knn_grid(
         dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
         found = jnp.isfinite(neg)
         exact = found[:, k - 1] & (dists[:, k - 1] <= coverage) & (~overflow)
-        return orig[row, pos], dists, found, exact
+        return orig[row, pos], dists, found, exact, coverage, overflow
 
     qt = qp.reshape(-1, tile, 3)
     it = qi.reshape(-1, tile)
-    idx, dist, val, exact = jax.lax.map(one_tile, (qt, it))
-    return NeighborResult(
+    idx, dist, val, exact, cover, overflow = jax.lax.map(one_tile, (qt, it))
+    res = NeighborResult(
         idx.reshape(-1, k)[:nq], dist.reshape(-1, k)[:nq],
         val.reshape(-1, k)[:nq], exact.reshape(-1)[:nq],
     )
+    return (res, cover.reshape(-1)[:nq], overflow.reshape(-1)[:nq]) \
+        if _with_cert_parts else res
 
 
 @partial(jax.jit, static_argnames=("max_neighbors", "capacity", "rings", "tile",
@@ -141,13 +145,21 @@ def ball_grid(
 ) -> NeighborResult:
     """ε-ball query: fixed-width (Q, max_neighbors) masked neighbor lists,
     nearest-first. Cells scanned must cover ``radius`` — caller should
-    build the grid with cell_size >= radius/rings."""
-    res = knn_grid(
+    build the grid with cell_size >= radius/rings.
+
+    ``exact`` is the BALL certificate: radius inside the scanned window's
+    coverage, no cell overflow, and the list not truncated (the farthest
+    slot found must lie beyond the radius or be absent).
+    """
+    res, cover, overflow = knn_grid(
         grid, queries, max_neighbors, query_indices,
         capacity=capacity, rings=rings, tile=tile, exclude_self=exclude_self,
+        _with_cert_parts=True,
     )
     inside = res.valid & (res.dists <= radius)
-    return NeighborResult(res.indices, res.dists, inside, res.exact)
+    truncated = res.valid[:, -1] & (res.dists[:, -1] <= radius)
+    exact = (radius <= cover) & (~overflow) & (~truncated)
+    return NeighborResult(res.indices, res.dists, inside, exact)
 
 
 def _next_pow2(n: int) -> int:

@@ -143,7 +143,8 @@ def generate_shape(
     unscaled shape, which serves the same "less noise where it bends" role).
     """
     if shape not in _GEN:
-        raise ValueError(f"unknown shape {shape!r}; choose from {SHAPES}")
+        raise ValueError(
+            f"unknown shape {shape!r}; choose from {tuple(_GEN)}")
     rng = np.random.default_rng(seed)
     pts = _GEN[shape](num_points, rng) * np.float32(radius)
     if perturbation_strength <= 0:

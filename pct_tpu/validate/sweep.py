@@ -65,10 +65,14 @@ def run_sweep(
             for shape in shapes:
                 variants = [("Unperturbed", 0.0)]
                 if perturbation > 0:
-                    # ref main_shape_validation.py:97 amplitude recipe
-                    variants.append(
-                        ("Perturbed",
-                         perturbation * np.sqrt(analytic_area(shape, radius))))
+                    # ref main_shape_validation.py:97 amplitude recipe;
+                    # stress shapes have no closed-form area — unscaled
+                    try:
+                        amp = perturbation * np.sqrt(
+                            analytic_area(shape, radius))
+                    except ValueError:
+                        amp = perturbation
+                    variants.append(("Perturbed", amp))
                 for variant, strength in variants:
                     row = _run_one(shape, variant, num_points, radius,
                                    strength, k_neighbors, auto_k,
@@ -86,8 +90,11 @@ def run_sweep(
 def _run_one(shape, variant, num_points, radius, strength, k_neighbors,
              auto_k, output_dir, seed) -> dict:
     t0 = time.time()
-    density = num_points / analytic_area(shape, radius)
     try:
+        # inside the try: stress shapes (mobius, dupin_cyclide) have no
+        # closed-form area — they must record an Error row, not abort the
+        # sweep (crash-and-continue, ref main_shape_validation.py:111-117)
+        density = num_points / analytic_area(shape, radius)
         unpert, pert = generate_shape(shape, num_points, radius=radius,
                                       perturbation_strength=strength,
                                       seed=seed)
@@ -125,7 +132,7 @@ def _run_one(shape, variant, num_points, radius, strength, k_neighbors,
                 "theoretical_bending": np.nan, "bending_error_pct": None,
                 "stretching_energy": np.nan, "theoretical_stretching": np.nan,
                 "stretching_error_pct": None, "nan_fraction": np.nan,
-                "density": density, "runtime_s": time.time() - t0,
+                "density": np.nan, "runtime_s": time.time() - t0,
                 "status": f"Error: {e}"}
 
 

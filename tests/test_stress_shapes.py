@@ -61,9 +61,12 @@ def test_epsilon_ball_curvature_egg_carton():
     radius = 4.0 * dbar
     grid = build_grid(cloud.points, cloud.num_points, jnp.float32(radius))
     res = ball_grid(grid, cloud.points, jnp.float32(radius),
-                    max_neighbors=48, capacity=96, exclude_self=True)
+                    max_neighbors=64, capacity=192, exclude_self=True)
     counts = np.asarray(res.valid)[:4000].sum(axis=1)
     assert counts.min() >= 6          # interior + boundary all covered
+    # coverage must be certified, not assumed (capacity covers the cells)
+    assert np.asarray(res.exact)[:4000].mean() > 0.95
+    assert counts.max() < 64          # no saturated (truncated) lists
     curv, normals, _ = pointwise_curvature(
         cloud.points, res.indices, method="explicit",
         neighbor_mask=res.valid, tile=1024)

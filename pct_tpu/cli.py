@@ -99,6 +99,12 @@ def _cmd_plot_results(args):
 
 
 def _cmd_bench(args):
+    # bench.py lives at the repo root (driver contract), not in the
+    # package — make the import location-independent
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import bench
 
     bench.main()

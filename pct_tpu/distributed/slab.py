@@ -73,6 +73,7 @@ def slab_curvature(
     n = points.shape[0]
     d = len(mesh.devices.ravel())
     assert n % d == 0, "capacity must divide the mesh size"
+    assert halo < n // d, "halo must be smaller than the slab size"
 
     # global sort once (replicated — one XLA sort; for > replicable sizes
     # this becomes a distributed sort, out of scope for this round)
@@ -126,22 +127,26 @@ def slab_curvature(
         curv, normal = _curvature_of_neighborhoods(
             local_pts, slab_pts, res.indices, method, "exact")
         # --- halo-coverage certificate: the geometric coverage check
-        # cannot see points MISSING from the local slab+halo, so require
-        # the query's whole 3³ window id-range to lie inside the id range
-        # this shard actually holds (conservative, hence sound) ---
+        # cannot see points MISSING from the local slab+halo. Each shard
+        # learns (one more ppermute) the id of the first row its neighbor
+        # did NOT send: every cell id STRICTLY inside (x_left, x_right) is
+        # provably complete in the local slab+halo (sorted order), so the
+        # query's whole 3³ window id-range must lie strictly inside ---
         from pct_tpu.neighbors.grid import cell_coords, linearize
 
-        nv = lgrid.num_valid
-        covered_lo = lgrid.sorted_ids[0]
-        covered_hi = lgrid.sorted_ids[jnp.maximum(nv - 1, 0)]
+        slab_n = slab_pts.shape[0]
+        # id of our row just before the block we sent right / just after
+        # the block we sent left
+        own_before_right = slab_ids[slab_n - halo - 1]
+        own_after_left = slab_ids[halo]
+        x_left = jax.lax.ppermute(own_before_right, axis, perm_r)
+        x_right = jax.lax.ppermute(own_after_left, axis, perm_l)
+        x_left = jnp.where(di == 0, jnp.int32(-1), x_left)
+        x_right = jnp.where(di == d - 1, jnp.int32(2**30 + 2), x_right)
         qc = cell_coords(slab_pts, grid.origin, grid.cell_size, grid.dims)
         win_lo = linearize(jnp.clip(qc - 1, 0, grid.dims - 1))
         win_hi = linearize(jnp.clip(qc + 1, 0, grid.dims - 1))
-        halo_ok = (win_lo >= covered_lo) & (win_hi <= covered_hi)
-        # global-boundary shards own the true ends of the id range
-        halo_ok = halo_ok | ((di == 0) & (win_hi <= covered_hi)) \
-            | ((di == d - 1) & (win_lo >= covered_lo))
-        exact = res.exact & halo_ok
+        exact = res.exact & (win_lo > x_left) & (win_hi < x_right)
         return curv, normal, exact, slab_rows
 
     shard_fn = jax.shard_map(

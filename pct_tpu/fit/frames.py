@@ -53,11 +53,26 @@ def neighborhood_covariance(centered: jax.Array, mask: jax.Array | None = None
 
 
 def estimate_normals(centered: jax.Array, mask: jax.Array | None = None):
-    """(..., k, 3) -> (normal (...,3) sign-fixed, λ_min (...,))."""
+    """(..., k, 3) -> (normal (...,3) sign-fixed, λ_min (...,)).
+
+    Sign fix vs reference vector pts[last] - pts[first] (ref :286-297);
+    with a mask, "last" is the farthest VALID neighbor (slots are
+    distance-sorted), matching the reference's semantics on the actual
+    neighborhood rather than reading a masked-out slot.
+    """
     cov = neighborhood_covariance(centered, mask)
     lam, n = smallest_eigvec3(cov)
-    # sign fix vs reference vector pts[-1] - pts[0] (ref :286-297)
-    ref_vec = centered[..., -1, :] - centered[..., 0, :]
+    if mask is None:
+        ref_vec = centered[..., -1, :] - centered[..., 0, :]
+    else:
+        kk = centered.shape[-2]
+        slots = jnp.arange(kk, dtype=jnp.int32)
+        last = jnp.max(jnp.where(mask, slots, -1), axis=-1)
+        last = jnp.maximum(last, 0)[..., None, None]
+        farthest = jnp.take_along_axis(
+            centered, jnp.broadcast_to(last, centered.shape[:-2] + (1, 3)),
+            axis=-2)[..., 0, :]
+        ref_vec = farthest - centered[..., 0, :]
     flip = jnp.sum(n * ref_vec, axis=-1) < 0.0
     n = jnp.where(flip[..., None], -n, n)
     return n, lam

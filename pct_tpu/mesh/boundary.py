@@ -61,9 +61,13 @@ def detect_boundary_loops(faces: np.ndarray) -> List[np.ndarray]:
 
 
 def loop_perimeter(vertices: np.ndarray, loop: np.ndarray,
-                   faces: np.ndarray) -> float:
-    """Sum of boundary-edge lengths belonging to the loop (ref :170)."""
-    be = boundary_edges(faces)
+                   faces: np.ndarray,
+                   be: np.ndarray | None = None) -> float:
+    """Sum of boundary-edge lengths belonging to the loop (ref :170).
+    Pass precomputed ``boundary_edges(faces)`` to avoid re-extracting
+    the (loop-independent) edge set per loop."""
+    if be is None:
+        be = boundary_edges(faces)
     sel = np.isin(be[:, 0], loop) & np.isin(be[:, 1], loop)
     e = be[sel]
     return float(np.linalg.norm(vertices[e[:, 0]] - vertices[e[:, 1]],
@@ -120,12 +124,13 @@ def fill_small_holes(vertices: np.ndarray, faces: np.ndarray,
     bbox = vertices.max(0) - vertices.min(0)
     threshold = perimeter_factor * float(bbox.mean())
     loops = detect_boundary_loops(faces)
+    be = boundary_edges(faces)
     new_faces = [faces]
     filled = 0
     for loop in loops:
         if loop.size < 3:
             continue
-        if loop_perimeter(vertices, loop, faces) >= threshold:
+        if loop_perimeter(vertices, loop, faces, be) >= threshold:
             continue
         if not is_planar(vertices[loop], planar_tol):
             continue

@@ -222,10 +222,8 @@ struct BPA {
     float search = 2.0f * r;
     grid.for_neighbors(m, search, [&](int x) {
       if (x == e.a || x == e.b || x == e.opposite) return;
-      if (state[x] == INSIDE && !point_on_front(x)) {
-        // interior points can't be glued again without breaking manifoldness
-        return;
-      }
+      // interior points may be re-glued; non-manifold overuse is rejected
+      // by the edge_uses >= 2 checks in run()
       V3 c;
       if (!ball_center(e.a, e.b, x, &c)) return;
       V3 w = c - m;
@@ -244,13 +242,6 @@ struct BPA {
     });
     if (best >= 0) *new_center = best_c;
     return best;
-  }
-
-  bool point_on_front(int x) const {
-    // cheap proxy: a point is re-usable if any of its mesh edges is open
-    // (exact front membership tracking is heavier; this matches Open3D's
-    // practical behavior closely enough for watertight surfaces)
-    return true;
   }
 
   void run(float radius) {

@@ -325,11 +325,16 @@ def knn_cellwise_band(
     blocks; ``band`` defaults to the guaranteed bound (bc+3)·capacity
     rounded to 128 lanes.
     """
-    from pct_tpu.ops.pallas_band import knn_band_select
+    from pct_tpu.ops.pallas_band import DMA_BAND, knn_band_select
 
     n = grid.sorted_points.shape[0]
     if band is None:
         band = ((bc + 3) * capacity + 127) // 128 * 128
+    if band > DMA_BAND:
+        raise ValueError(
+            f"band {band} exceeds the kernel's DMA window {DMA_BAND}: "
+            f"reduce bc (currently {bc}) or capacity (currently {capacity}) "
+            f"so (bc+3)*capacity <= {DMA_BAND}")
     nb = block_index.shape[0] // bc
     bi = block_index.reshape(nb, bc)
     ok_slot = bi >= 0

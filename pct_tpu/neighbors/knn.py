@@ -60,9 +60,14 @@ def _gather_candidates(grid: GridIndex, q: jax.Array, capacity: int, rings: int)
     nids = neighbor_cell_ids(qc, grid.dims, rings)            # (Q, 27)
     starts = jnp.searchsorted(grid.sorted_ids, nids, side="left").astype(jnp.int32)
     slot = jnp.arange(capacity, dtype=jnp.int32)
-    cand = jnp.minimum(starts[..., None] + slot, n - 1)       # (Q, 27, C)
+    raw = starts[..., None] + slot                            # (Q, 27, C)
+    cand = jnp.minimum(raw, n - 1)
     cand_ids = grid.sorted_ids[cand]
-    ok = (cand_ids == nids[..., None]) & (nids[..., None] != PAD_ID)
+    # in-range mask is REQUIRED: when the cloud has no padding tail,
+    # clipped slots land on row n-1 whose id can legitimately match the
+    # queried cell, certifying duplicated neighbors as exact
+    ok = ((cand_ids == nids[..., None]) & (nids[..., None] != PAD_ID)
+          & (raw < n))
     # a cell overflows when the slot one past capacity still matches its id
     probe = jnp.minimum(starts + capacity, n - 1)
     overflow = jnp.any(
@@ -182,13 +187,22 @@ def knn_cloud_grid(cloud, k: int, capacity: int | None = None, rings: int = 1,
     """
     from pct_tpu.neighbors.bruteforce import knn_bruteforce
 
-    from pct_tpu.neighbors.cellknn import knn_all_points_auto
+    from pct_tpu.neighbors.cellknn import knn_all_points, knn_all_points_auto
 
     if cell_size is None:
         cell_size = estimate_cell_size(cloud.points, cloud.num_points, k)
     grid = build_grid(cloud.points, cloud.num_points, cell_size)
-    # cell-centric kernel works in sorted order; scatter back to original
-    res = knn_all_points_auto(grid, k)
+    if rings != 1:
+        # the cell-centric kernel is a 27-cell (rings=1) design; honor a
+        # wider window via the query-centric path
+        res = knn_grid(grid, grid.sorted_points, k, query_indices=grid.order,
+                       capacity=capacity or 64, rings=rings, tile=tile,
+                       exclude_self=True)
+    elif capacity is not None:
+        # explicit capacity: caller bounds memory; skip the auto probe
+        res = knn_all_points(grid, k, capacity=capacity)
+    else:
+        res = knn_all_points_auto(grid, k)
     inv = jnp.zeros_like(grid.order).at[grid.order].set(
         jnp.arange(grid.order.shape[0], dtype=jnp.int32)
     )
@@ -200,8 +214,10 @@ def knn_cloud_grid(cloud, k: int, capacity: int | None = None, rings: int = 1,
         if inexact.size:
             if inexact.size > n // 2:
                 bi, bd = knn_bruteforce(cloud.points, cloud.num_points, k)
+                # slots beyond the cloud size (num_points <= k) carry inf
+                # distances and arbitrary indices — they are NOT valid
                 res = NeighborResult(
-                    bi, bd, jnp.ones_like(bi, dtype=bool),
+                    bi, bd, jnp.isfinite(bd),
                     jnp.ones((res.exact.shape[0],), dtype=bool),
                 )
             else:
@@ -216,7 +232,7 @@ def knn_cloud_grid(cloud, k: int, capacity: int | None = None, rings: int = 1,
                 res = NeighborResult(
                     res.indices.at[sel_j].set(bi),
                     res.dists.at[sel_j].set(bd),
-                    res.valid.at[sel_j].set(True),
+                    res.valid.at[sel_j].set(jnp.isfinite(bd)),
                     res.exact.at[sel_j].set(True),
                 )
     return res, grid

@@ -83,8 +83,8 @@ def sharded_curvature(
         res = knn_grid(grid_rep, q_shard, k, query_indices=qidx_shard,
                        capacity=capacity, rings=rings, tile=knn_tile,
                        exclude_self=True)
-        curv, normal = _curvature_of_neighborhoods(
-            pts_rep, q_shard, res.indices, method, "exact")
+        centered = pts_rep[res.indices] - q_shard[:, None, :]
+        curv, normal = _curvature_of_neighborhoods(centered, method, "exact")
         # global reductions over the mesh axis (ICI psum); NaN-tolerant like
         # the reference's census (a handful of degenerate fits must not
         # poison the global statistics)

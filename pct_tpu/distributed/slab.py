@@ -124,8 +124,8 @@ def slab_curvature(
         qidx_local = halo + jnp.arange(slab_pts.shape[0], dtype=jnp.int32)
         res = knn_grid(lgrid, slab_pts, k, query_indices=qidx_local,
                        capacity=capacity, tile=knn_tile, exclude_self=True)
-        curv, normal = _curvature_of_neighborhoods(
-            local_pts, slab_pts, res.indices, method, "exact")
+        centered = local_pts[res.indices] - slab_pts[:, None, :]
+        curv, normal = _curvature_of_neighborhoods(centered, method, "exact")
         # --- halo-coverage certificate: the geometric coverage check
         # cannot see points MISSING from the local slab+halo. Each shard
         # learns (one more ppermute) the id of the first row its neighbor

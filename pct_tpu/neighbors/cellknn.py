@@ -77,6 +77,131 @@ def default_select_impl() -> str:
     return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
 
+def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
+                    tile_cells: int, run_cap: int, select_impl: str):
+    """Shared prologue for the cell loop: working-set guards + the
+    all-cells candidate-run table (ONE sort-based searchsorted — 10x
+    faster on TPU than per-tile binary searches: no gather chains).
+
+    Returns (tile_args, tile_cells, select_impl) where tile_args are the
+    per-tile arrays reshaped to (num_tiles, tile_cells, ...).
+    """
+    n = grid.sorted_points.shape[0]
+    mc = cells.cell_id.shape[0]
+    m_width = 9 * run_cap
+    # ---- working-set guards (large k => capacity up to 256, M ~ 7k) ----
+    # pallas select keeps (block_cells, capacity, M) in VMEM; fall back to
+    # the XLA path when even one cell's rows exceed the VMEM budget
+    if select_impl == "pallas" and capacity * m_width * 4 * 3 > 10 << 20:
+        select_impl = "xla"
+    # XLA path materializes (tile, capacity, M) distance tensors in HBM;
+    # shrink the tile so that stays <= ~256 MB
+    max_tile = max(8, (1 << 28) // max(capacity * m_width * 4, 1))
+    while tile_cells > max_tile and tile_cells > 8:
+        tile_cells //= 2
+    pad_tiles = (-mc) % tile_cells
+
+    cid = jnp.pad(cells.cell_id, (0, pad_tiles), constant_values=PAD_ID)
+    cstart = jnp.pad(cells.start, (0, pad_tiles), constant_values=n)
+    ccount = jnp.pad(cells.count, (0, pad_tiles))
+
+    dims = grid.dims
+    ix_a, iy_a, iz_a = _decode(jnp.where(cid == PAD_ID, 0, cid))
+    dyz = jnp.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
+                    dtype=jnp.int32)                           # (9, 2)
+    ny_a = iy_a[:, None] + dyz[None, :, 0]
+    nz_a = iz_a[:, None] + dyz[None, :, 1]
+    ok_run_a = ((ny_a >= 0) & (ny_a < dims[1]) & (nz_a >= 0)
+                & (nz_a < dims[2]))
+    base_a = ny_a * MAXDIM + nz_a * MAXDIM * MAXDIM            # (MC, 9)
+    run_lo_a = base_a + jnp.maximum(ix_a - 1, 0)[:, None]
+    run_hi_a = base_a + jnp.minimum(ix_a + 1, dims[0] - 1)[:, None]
+    rs_a = jnp.searchsorted(grid.sorted_ids, run_lo_a, side="left",
+                            method="sort").astype(jnp.int32)
+    re_a = jnp.searchsorted(grid.sorted_ids, run_hi_a + 1, side="left",
+                            method="sort").astype(jnp.int32)
+    run_len_a = jnp.where(ok_run_a, re_a - rs_a, 0)
+    overflow_a = jnp.any(run_len_a > run_cap, axis=1)          # (MC,)
+    run_len_a = jnp.minimum(run_len_a, run_cap)
+
+    tile_args = (cid.reshape(-1, tile_cells), cstart.reshape(-1, tile_cells),
+                 ccount.reshape(-1, tile_cells),
+                 rs_a.reshape(-1, tile_cells, 9),
+                 run_len_a.reshape(-1, tile_cells, 9),
+                 overflow_a.reshape(-1, tile_cells))
+    return tile_args, tile_cells, select_impl
+
+
+def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
+                 select_impl: str):
+    """One tile of the cell loop: candidate fetch + fused k-selection.
+
+    Returns (pos (T,C,k) winner positions in the M candidate axis,
+    dists (T,C,k) ascending, found (T,C,k), cand (T,M) candidate sorted
+    rows, cpts (T,M,3) candidate coords, qpts (T,C,3), qrow (T,C),
+    ok_q (T,C) real-query mask, exact (T,C) coverage certificate).
+    """
+    n = grid.sorted_points.shape[0]
+    dims = grid.dims
+    inf = jnp.float32(jnp.inf)
+    cell_id, start, count, rs, run_len, run_overflow = args   # (T, ...)
+    T = cell_id.shape[0]
+    ix, iy, iz = _decode(jnp.where(cell_id == PAD_ID, 0, cell_id))
+    # --- candidate rows: (T, 9, run_cap) sorted positions ---
+    slot = jnp.arange(run_cap, dtype=jnp.int32)
+    cand = jnp.minimum(rs[..., None] + slot, n - 1)
+    ok_cand = slot[None, None, :] < run_len[..., None]
+    cand = cand.reshape(T, 9 * run_cap)
+    ok_cand = ok_cand.reshape(T, 9 * run_cap)
+    cpts = grid.sorted_points[cand]                          # (T, M, 3)
+    qrow = jnp.minimum(start[:, None] + jnp.arange(capacity,
+                                                   dtype=jnp.int32), n - 1)
+    ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
+    qpts = grid.sorted_points[qrow]                          # (T, C, 3)
+    if select_impl == "pallas" or select_impl == "pallas_interpret":
+        from pct_tpu.ops.pallas_select import knn_select
+
+        dists, pos = knn_select(
+            qpts, cpts, cand, qrow, ok_cand.astype(jnp.int32), k,
+            interpret=(select_impl == "pallas_interpret"))
+        found = dists < 1e18     # kernel backs missing slots with ~3e38
+    else:
+        # --- XLA path: MXU distance expansion in cell-local coords ---
+        corner = grid.origin[None, :] + grid.cell_size * jnp.stack(
+            [ix, iy, iz], axis=-1).astype(jnp.float32)       # (T, 3)
+        cpts_l = cpts - corner[:, None, :]
+        qpts_l = qpts - corner[:, None, :]
+        q2 = jnp.sum(qpts_l * qpts_l, axis=-1)               # (T, C)
+        c2 = jnp.sum(cpts_l * cpts_l, axis=-1)               # (T, M)
+        cross = jnp.einsum("tcd,tmd->tcm", qpts_l, cpts_l,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(q2[:, :, None] + c2[:, None, :] - 2.0 * cross,
+                         0.0)
+        d2 = jnp.where(ok_cand[:, None, :], d2, inf)
+        # self-exclusion: candidate sorted-pos == query sorted-pos
+        self_m = cand[:, None, :] == qrow[:, :, None]
+        d2 = jnp.where(self_m, inf, d2)
+        neg, pos = jax.lax.top_k(-d2, k)                     # (T, C, k)
+        dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        found = jnp.isfinite(neg)
+    # --- exactness: per-query coverage radius within the 3³ window ---
+    # (qpts already in world coordinates)
+    coords = jnp.stack([ix, iy, iz], axis=-1)                # (T, 3)
+    lo_edge = grid.origin[None, :] + (coords - 1).astype(jnp.float32) \
+        * grid.cell_size
+    hi_edge = grid.origin[None, :] + (coords + 2).astype(jnp.float32) \
+        * grid.cell_size
+    left = jnp.where((coords - 1 <= 0)[:, None, :], inf,
+                     qpts - lo_edge[:, None, :])
+    right = jnp.where((coords + 1 >= dims - 1)[:, None, :], inf,
+                      hi_edge[:, None, :] - qpts)
+    cover = jnp.minimum(jnp.min(left, axis=-1), jnp.min(right, axis=-1))
+    exact = (found[..., k - 1] & (dists[..., k - 1] <= cover)
+             & (~run_overflow[:, None]))
+    return pos, dists, found, cand, cpts, qpts, qrow, ok_q, exact
+
+
 @partial(jax.jit, static_argnames=("k", "capacity", "tile_cells", "run_cap",
                                    "original_ids", "lean", "select_impl"))
 def knn_cellwise(
@@ -102,106 +227,21 @@ def knn_cellwise(
     if select_impl is None:
         select_impl = default_select_impl()
     n = grid.sorted_points.shape[0]
-    mc = cells.cell_id.shape[0]
     if run_cap is None:
         run_cap = 3 * capacity
-    pad_tiles = (-mc) % tile_cells
-
-    cid = jnp.pad(cells.cell_id, (0, pad_tiles), constant_values=PAD_ID)
-    cstart = jnp.pad(cells.start, (0, pad_tiles), constant_values=n)
-    ccount = jnp.pad(cells.count, (0, pad_tiles))
-
-    dims = grid.dims
-    inf = jnp.float32(jnp.inf)
-
-    # --- runs for ALL cells in ONE sort-based searchsorted (10x faster on
-    # TPU than per-tile binary searches: no gather chains) ---
-    ix_a, iy_a, iz_a = _decode(jnp.where(cid == PAD_ID, 0, cid))
-    dyz = jnp.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
-                    dtype=jnp.int32)                           # (9, 2)
-    ny_a = iy_a[:, None] + dyz[None, :, 0]
-    nz_a = iz_a[:, None] + dyz[None, :, 1]
-    ok_run_a = ((ny_a >= 0) & (ny_a < dims[1]) & (nz_a >= 0)
-                & (nz_a < dims[2]))
-    base_a = ny_a * MAXDIM + nz_a * MAXDIM * MAXDIM            # (MC, 9)
-    run_lo_a = base_a + jnp.maximum(ix_a - 1, 0)[:, None]
-    run_hi_a = base_a + jnp.minimum(ix_a + 1, dims[0] - 1)[:, None]
-    rs_a = jnp.searchsorted(grid.sorted_ids, run_lo_a, side="left",
-                            method="sort").astype(jnp.int32)
-    re_a = jnp.searchsorted(grid.sorted_ids, run_hi_a + 1, side="left",
-                            method="sort").astype(jnp.int32)
-    run_len_a = jnp.where(ok_run_a, re_a - rs_a, 0)
-    overflow_a = jnp.any(run_len_a > run_cap, axis=1)          # (MC,)
-    run_len_a = jnp.minimum(run_len_a, run_cap)
+    tile_args, tile_cells, select_impl = _cellwise_setup(
+        grid, cells, capacity, tile_cells, run_cap, select_impl)
 
     def one_tile(args):
-        cell_id, start, count, rs, run_len, run_overflow = args   # (T, ...)
-        T = cell_id.shape[0]
-        ix, iy, iz = _decode(jnp.where(cell_id == PAD_ID, 0, cell_id))
-        # --- candidate rows: (T, 9, run_cap) sorted positions ---
-        slot = jnp.arange(run_cap, dtype=jnp.int32)
-        cand = jnp.minimum(rs[..., None] + slot, n - 1)
-        ok_cand = slot[None, None, :] < run_len[..., None]
-        cand = cand.reshape(T, 9 * run_cap)
-        ok_cand = ok_cand.reshape(T, 9 * run_cap)
-        cpts = grid.sorted_points[cand]                          # (T, M, 3)
-        qrow = jnp.minimum(start[:, None] + jnp.arange(capacity,
-                                                       dtype=jnp.int32), n - 1)
-        ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
-        qpts = grid.sorted_points[qrow]                          # (T, C, 3)
-        if select_impl == "pallas" or select_impl == "pallas_interpret":
-            from pct_tpu.ops.pallas_select import knn_select
-
-            dists, pos = knn_select(
-                qpts, cpts, cand, qrow, ok_cand.astype(jnp.int32), k,
-                interpret=(select_impl == "pallas_interpret"))
-            found = dists < 1e18     # kernel backs missing slots with ~3e38
-        else:
-            # --- XLA path: MXU distance expansion in cell-local coords ---
-            corner = grid.origin[None, :] + grid.cell_size * jnp.stack(
-                [ix, iy, iz], axis=-1).astype(jnp.float32)       # (T, 3)
-            cpts_l = cpts - corner[:, None, :]
-            qpts_l = qpts - corner[:, None, :]
-            q2 = jnp.sum(qpts_l * qpts_l, axis=-1)               # (T, C)
-            c2 = jnp.sum(cpts_l * cpts_l, axis=-1)               # (T, M)
-            cross = jnp.einsum("tcd,tmd->tcm", qpts_l, cpts_l,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-            d2 = jnp.maximum(q2[:, :, None] + c2[:, None, :] - 2.0 * cross,
-                             0.0)
-            d2 = jnp.where(ok_cand[:, None, :], d2, inf)
-            # self-exclusion: candidate sorted-pos == query sorted-pos
-            self_m = cand[:, None, :] == qrow[:, :, None]
-            d2 = jnp.where(self_m, inf, d2)
-            neg, pos = jax.lax.top_k(-d2, k)                     # (T, C, k)
-            dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
-            found = jnp.isfinite(neg)
+        pos, dists, found, cand, _, _, qrow, ok_q, exact = _tile_select(
+            grid, args, k, capacity, run_cap, select_impl)
         # gather winning candidate rows WITHOUT materializing (T, C, M)
         t_ix = jnp.arange(cand.shape[0], dtype=jnp.int32)[:, None, None]
         cand_sorted = cand[t_ix, pos]
         idx_orig = grid.order[cand_sorted] if original_ids else cand_sorted
-        # --- exactness: per-query coverage radius within the 3³ window ---
-        # (qpts already in world coordinates)
-        coords = jnp.stack([ix, iy, iz], axis=-1)                # (T, 3)
-        lo_edge = grid.origin[None, :] + (coords - 1).astype(jnp.float32) \
-            * grid.cell_size
-        hi_edge = grid.origin[None, :] + (coords + 2).astype(jnp.float32) \
-            * grid.cell_size
-        left = jnp.where((coords - 1 <= 0)[:, None, :], inf,
-                         qpts - lo_edge[:, None, :])
-        right = jnp.where((coords + 1 >= dims - 1)[:, None, :], inf,
-                          hi_edge[:, None, :] - qpts)
-        cover = jnp.minimum(jnp.min(left, axis=-1), jnp.min(right, axis=-1))
-        exact = (found[..., k - 1] & (dists[..., k - 1] <= cover)
-                 & (~run_overflow[:, None]))
         return idx_orig, dists, found, exact & ok_q, qrow, ok_q
 
-    args = (cid.reshape(-1, tile_cells), cstart.reshape(-1, tile_cells),
-            ccount.reshape(-1, tile_cells),
-            rs_a.reshape(-1, tile_cells, 9),
-            run_len_a.reshape(-1, tile_cells, 9),
-            overflow_a.reshape(-1, tile_cells))
-    idx, dists, found, exact, qrow, ok_q = jax.lax.map(one_tile, args)
+    idx, dists, found, exact, qrow, ok_q = jax.lax.map(one_tile, tile_args)
 
     flat = lambda a: a.reshape((-1,) + a.shape[3:])
     idx, dists, found = flat(idx), flat(dists), flat(found)
@@ -220,6 +260,72 @@ def knn_cellwise(
     out_d = jnp.zeros((n, k), jnp.float32).at[dest].set(dists, mode="drop")
     out_f = jnp.zeros((n, k), bool).at[dest].set(found, mode="drop")
     return NeighborResult(out_idx, out_d, out_f, out_e)
+
+
+def apply_cellwise(
+    grid: GridIndex,
+    cells: CellTable,
+    k: int,
+    fn,
+    capacity: int = 64,
+    tile_cells: int = 128,
+    run_cap: int | None = None,
+    select_impl: str | None = None,
+    dest_order: str = "original",
+):
+    """Run ``fn`` over every point's kNN neighborhood INSIDE the cell loop.
+
+    ``fn(centered (T,C,k,3), found (T,C,k)) -> pytree of (T,C,...)`` is
+    traced into each tile: neighborhoods are gathered tile-locally from
+    the candidate set already in flight (``cpts[pos]``), so the (N,k)
+    index scatter, the global (N·k,3) neighborhood re-gather, and the
+    final unsort pass of the two-stage pipeline never materialize. Only
+    ``fn``'s per-query outputs are scattered to (n, ...) — in the
+    caller's original point order (``dest_order="original"``) or sorted
+    order ("sorted"). Padding slots and uncovered rows stay zero.
+
+    Returns (outputs pytree of (n, ...), exact (n,), kth_dist (n,)).
+    NOT jitted itself — call under jit (``fn`` closures hash poorly as
+    static args, so jitting is left to the caller).
+    """
+    if select_impl is None:
+        select_impl = default_select_impl()
+    n = grid.sorted_points.shape[0]
+    if run_cap is None:
+        run_cap = 3 * capacity
+    tile_args, tile_cells, select_impl = _cellwise_setup(
+        grid, cells, capacity, tile_cells, run_cap, select_impl)
+
+    def one_tile(args):
+        pos, dists, found, _, cpts, qpts, qrow, ok_q, exact = _tile_select(
+            grid, args, k, capacity, run_cap, select_impl)
+        T = pos.shape[0]
+        # tile-local winner gather: (T,M,3) -> (T,C,k,3)
+        nbrs = jnp.take_along_axis(
+            cpts, pos.reshape(T, -1)[:, :, None], axis=1
+        ).reshape(T, capacity, k, 3)
+        centered = nbrs - qpts[:, :, None, :]
+        out = fn(centered, found)
+        return out, exact & ok_q, dists[..., k - 1], qrow, ok_q
+
+    out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, tile_args)
+
+    flat = lambda a: a.reshape((-1,) + a.shape[3:])
+    exact, kth = flat(exact), flat(kth)
+    qrow, ok_q = flat(qrow), flat(ok_q)
+    dest_rows = grid.order[qrow] if dest_order == "original" else qrow
+    dest = jnp.where(ok_q, dest_rows, n)
+
+    def scatter(a):
+        a = a.reshape((-1,) + a.shape[3:])
+        return jnp.zeros((n,) + a.shape[1:], a.dtype).at[dest].set(
+            a, mode="drop")
+
+    out_n = jax.tree_util.tree_map(scatter, out)
+    exact_n = jnp.zeros((n,), bool).at[dest].set(
+        exact & (~cells.overflow), mode="drop")
+    kth_n = jnp.zeros((n,), jnp.float32).at[dest].set(kth, mode="drop")
+    return out_n, exact_n, kth_n
 
 
 def default_max_cells(n: int, k: int, tile_cells: int = 128) -> int:

@@ -90,6 +90,51 @@ def test_neighbor_study_sphere():
     assert (per[per > 0] >= 3).all()
 
 
+def test_fused_cellwise_matches_staged_pipeline():
+    """The single-jit fused path (curvature evaluated inside the cell
+    loop, apply_cellwise) must agree with the staged pipeline on
+    identical clouds — same kNN semantics, same fit chain."""
+    from pct_tpu.neighbors.grid import estimate_cell_size
+    from pct_tpu.pipeline.fused import fused_curvature
+
+    pts, _ = generate_shape("torus", 3000, radius=1.0)
+    cloud = from_numpy(pts)
+    n = 3000
+    staged = curvature_pipeline(cloud, k=16, tile=1024)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, 16)
+    fused = fused_curvature(cloud.points, cloud.num_points, cell, k=16)
+    exact = np.asarray(fused.exact)[:n]
+    assert exact.mean() > 0.999
+    K_s = np.asarray(staged.curv.K)[:n]
+    K_f = np.asarray(fused.curv.K)[:n]
+    scale = np.abs(K_s).max()
+    np.testing.assert_allclose(K_f[exact], K_s[exact], atol=2e-4 * scale)
+    H_s = np.asarray(staged.curv.H)[:n]
+    H_f = np.asarray(fused.curv.H)[:n]
+    np.testing.assert_allclose(H_f[exact], H_s[exact],
+                               atol=2e-4 * np.abs(H_s).max())
+    dots = np.sum(np.asarray(fused.normals)[:n]
+                  * np.asarray(staged.normals)[:n], axis=1)
+    assert np.median(np.abs(dots)) > 0.9999
+    # kth distance matches the staged pipeline's kNN
+    np.testing.assert_allclose(np.asarray(fused.kth_dist)[:n][exact],
+                               np.asarray(staged.neighbor_dists)[:n, -1][exact],
+                               rtol=1e-5)
+
+
+def test_fused_cellwise_implicit_method():
+    from pct_tpu.neighbors.grid import estimate_cell_size
+    from pct_tpu.pipeline.fused import fused_curvature
+
+    pts, _ = generate_shape("sphere", 2000, radius=2.0)
+    cloud = from_numpy(pts)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, 40)
+    r = fused_curvature(cloud.points, cloud.num_points, cell, k=40,
+                        method="implicit")
+    K = np.asarray(r.curv.K)[:2000]
+    np.testing.assert_allclose(np.median(K), 0.25, rtol=0.05)
+
+
 def test_pipeline_padding_invariance():
     pts, _ = generate_shape("sphere", 900, radius=1.0)
     c1 = from_numpy(pts, capacity=1024)

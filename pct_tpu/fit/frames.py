@@ -41,15 +41,30 @@ def neighborhood_covariance(centered: jax.Array, mask: jax.Array | None = None
     """
     if mask is None:
         mask = jnp.ones(centered.shape[:-1], dtype=bool)
-    m = mask[..., None].astype(centered.dtype)
-    cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
-    mean = jnp.sum(centered * m, axis=-2, keepdims=True) / cnt[..., None, :]
-    d = (centered - mean) * m
-    cov = jnp.einsum("...ki,...kj->...ij", d, d,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    denom = jnp.maximum(cnt - 1.0, 1.0)
-    return cov / denom[..., None]
+    m = mask.astype(centered.dtype)
+    cnt = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    # elementwise per-component sums instead of a (...,k,3)x(...,k,3)
+    # einsum: XLA lowers the tiny batched matmul onto padded MXU tiles at
+    # ~5x the cost of these VPU reductions (measured on v5e), and VPU f32
+    # multiplies are exact f32 (no bf16 passes), so no precision pin is
+    # needed.
+    x, y, z = centered[..., 0] * m, centered[..., 1] * m, centered[..., 2] * m
+    inv = 1.0 / cnt
+    mx, my, mz = (jnp.sum(x, -1) * inv, jnp.sum(y, -1) * inv,
+                  jnp.sum(z, -1) * inv)
+    x = (x - mx[..., None]) * m
+    y = (y - my[..., None]) * m
+    z = (z - mz[..., None]) * m
+    f = 1.0 / jnp.maximum(cnt - 1.0, 1.0)
+    sxx, syy, szz = (jnp.sum(x * x, -1) * f, jnp.sum(y * y, -1) * f,
+                     jnp.sum(z * z, -1) * f)
+    sxy, sxz, syz = (jnp.sum(x * y, -1) * f, jnp.sum(x * z, -1) * f,
+                     jnp.sum(y * z, -1) * f)
+    return jnp.stack([
+        jnp.stack([sxx, sxy, sxz], -1),
+        jnp.stack([sxy, syy, syz], -1),
+        jnp.stack([sxz, syz, szz], -1),
+    ], axis=-2)
 
 
 def estimate_normals(centered: jax.Array, mask: jax.Array | None = None):
@@ -112,7 +127,26 @@ def tangent_frames(centered: jax.Array, mask: jax.Array | None = None):
     """
     normal, _ = estimate_normals(centered, mask)
     R = rodrigues_to_z(normal)
-    rotated = jnp.einsum("...ij,...kj->...ki", R, centered,
-                         preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+    # apply R elementwise instead of an einsum over (...,3,3)x(...,k,3):
+    # R p = p + v×p + fac·v×(v×p) with v = n×z = (n_y, -n_x, 0),
+    # fac = (1-n_z)/s², identity when s < 1e-8 (same formula/fallback as
+    # rodrigues_to_z; VPU elementwise is ~5x cheaper than the padded-MXU
+    # batched matmul and exact f32)
+    nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
+    vx, vy = ny, -nx
+    s2 = vx * vx + vy * vy
+    fac = ((1.0 - nz) / jnp.maximum(s2, 1e-20))[..., None]
+    small = (jnp.sqrt(s2) < 1e-8)[..., None]
+    px, py, pz = centered[..., 0], centered[..., 1], centered[..., 2]
+    vxe, vye = vx[..., None], vy[..., None]
+    kp_x = vye * pz
+    kp_y = -vxe * pz
+    kp_z = vxe * py - vye * px
+    k2p_x = vye * kp_z
+    k2p_y = -vxe * kp_z
+    k2p_z = vxe * kp_y - vye * kp_x
+    a = jnp.where(small, px, px + kp_x + fac * k2p_x)
+    b = jnp.where(small, py, py + kp_y + fac * k2p_y)
+    c = jnp.where(small, pz, pz + kp_z + fac * k2p_z)
+    rotated = jnp.stack([a, b, c], axis=-1)
     return rotated, R, normal

@@ -78,7 +78,7 @@ def fit_quadratic(rotated: jax.Array, mask: jax.Array | None = None):
     """
     if mask is None:
         mask = jnp.ones(rotated.shape[:-1], dtype=bool)
-    m = mask[..., None].astype(rotated.dtype)
+    m = mask.astype(rotated.dtype)
     # ANISOTROPIC per-axis scaling: lattice-sampled scans have strongly
     # elliptical neighborhoods (e.g. 3:1 on the torus generator); a single
     # radius scale leaves the a/b columns unbalanced and the Gram
@@ -88,15 +88,21 @@ def fit_quadratic(rotated: jax.Array, mask: jax.Array | None = None):
         jnp.max(rotated[..., 0] ** 2 * mask, axis=-1), 1e-20))[..., None]
     sb = jnp.sqrt(jnp.maximum(
         jnp.max(rotated[..., 1] ** 2 * mask, axis=-1), 1e-20))[..., None]
-    ab = jnp.stack([rotated[..., 0] / sa, rotated[..., 1] / sb], axis=-1)
-    X = quadratic_design(ab) * m
-    z = rotated[..., 2:3] * m
-    G = jnp.einsum("...ki,...kj->...ij", X, X,
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    rhs = jnp.einsum("...ki,...kj->...ij", X, z,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)[..., 0]
+    a = rotated[..., 0] / sa
+    b = rotated[..., 1] / sb
+    # Gram/rhs as 21+6 elementwise k-axis reductions instead of
+    # (...,k,6)ᵀ(...,k,6) einsums: the tiny batched matmul pads onto MXU
+    # tiles at ~5x the VPU cost (measured on v5e), and VPU f32 products
+    # are exact f32 so no Precision pin is needed.
+    cols = [a * a * m, b * b * m, a * b * m, a * m, b * m, m]
+    zm = rotated[..., 2] * m
+    Gq = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i, 6):
+            Gq[i][j] = Gq[j][i] = jnp.sum(cols[i] * cols[j], axis=-1)
+    rhs = jnp.stack([jnp.sum(cols[i] * zm, axis=-1) for i in range(6)],
+                    axis=-1)
+    G = jnp.stack([jnp.stack(Gq[i], axis=-1) for i in range(6)], axis=-2)
     trace = jnp.trace(G, axis1=-2, axis2=-1)
     G = G + (_RIDGE * trace[..., None, None] / 6.0) * jnp.eye(6, dtype=G.dtype)
     c = cholesky_solve6(G, rhs)

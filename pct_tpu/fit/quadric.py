@@ -47,10 +47,20 @@ def fit_quadric(centered: jax.Array, mask: jax.Array | None = None,
         h = jnp.sqrt(jnp.maximum(h2, 1e-20))[..., None, None]
     else:
         h = jnp.ones(centered.shape[:-2] + (1, 1), centered.dtype)
-    X = quadric_design(centered / h) * m
-    G = jnp.einsum("...ki,...kj->...ij", X, X,
-                   preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+    pts = centered / h
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    mm = mask.astype(centered.dtype)
+    # 55 elementwise k-reductions instead of the (...,k,10)ᵀ(...,k,10)
+    # einsum: the tiny batched matmul pads onto MXU tiles at ~5x the VPU
+    # cost (measured on v5e; see fit/quadratic.py), and VPU f32 products
+    # are exact f32 so no Precision pin is needed.
+    cols = [x * x * mm, y * y * mm, z * z * mm, x * y * mm, x * z * mm,
+            y * z * mm, x * mm, y * mm, z * mm, mm]
+    Gq = [[None] * 10 for _ in range(10)]
+    for i in range(10):
+        for j in range(i, 10):
+            Gq[i][j] = Gq[j][i] = jnp.sum(cols[i] * cols[j], axis=-1)
+    G = jnp.stack([jnp.stack(Gq[i], axis=-1) for i in range(10)], axis=-2)
     w, V = jnp.linalg.eigh(G)
     c = V[..., :, 0]  # eigenvector of smallest eigenvalue
     hh = h[..., 0, 0][..., None]

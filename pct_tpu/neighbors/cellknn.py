@@ -77,19 +77,11 @@ def default_select_impl() -> str:
     return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
 
-def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
-                    tile_cells: int, run_cap: int, select_impl: str):
-    """Shared prologue for the cell loop: working-set guards + the
-    all-cells candidate-run table (ONE sort-based searchsorted — 10x
-    faster on TPU than per-tile binary searches: no gather chains).
-
-    Returns (tile_args, tile_cells, select_impl) where tile_args are the
-    per-tile arrays reshaped to (num_tiles, tile_cells, ...).
-    """
-    n = grid.sorted_points.shape[0]
-    mc = cells.cell_id.shape[0]
+def _working_set_guards(capacity: int, tile_cells: int, run_cap: int,
+                        select_impl: str):
+    """VMEM/HBM working-set guards (large k => capacity up to 256,
+    M ~ 7k). Returns (tile_cells, select_impl), possibly reduced."""
     m_width = 9 * run_cap
-    # ---- working-set guards (large k => capacity up to 256, M ~ 7k) ----
     # pallas select keeps (block_cells, capacity, M) in VMEM; fall back to
     # the XLA path when even one cell's rows exceed the VMEM budget
     if select_impl == "pallas" and capacity * m_width * 4 * 3 > 10 << 20:
@@ -99,12 +91,16 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     max_tile = max(8, (1 << 28) // max(capacity * m_width * 4, 1))
     while tile_cells > max_tile and tile_cells > 8:
         tile_cells //= 2
-    pad_tiles = (-mc) % tile_cells
+    return tile_cells, select_impl
 
-    cid = jnp.pad(cells.cell_id, (0, pad_tiles), constant_values=PAD_ID)
-    cstart = jnp.pad(cells.start, (0, pad_tiles), constant_values=n)
-    ccount = jnp.pad(cells.count, (0, pad_tiles))
 
+def _runs_table(grid: GridIndex, cid: jax.Array):
+    """Candidate-run table for all cells in ONE sort-based searchsorted
+    (10x faster on TPU than per-tile binary searches: no gather chains).
+
+    cid: (MC,) linearized cell ids (PAD_ID rows get zero-length runs).
+    Returns (rs (MC,9) int32 run starts, run_len (MC,9) int32 UNCLIPPED).
+    """
     dims = grid.dims
     ix_a, iy_a, iz_a = _decode(jnp.where(cid == PAD_ID, 0, cid))
     dyz = jnp.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
@@ -112,7 +108,7 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     ny_a = iy_a[:, None] + dyz[None, :, 0]
     nz_a = iz_a[:, None] + dyz[None, :, 1]
     ok_run_a = ((ny_a >= 0) & (ny_a < dims[1]) & (nz_a >= 0)
-                & (nz_a < dims[2]))
+                & (nz_a < dims[2]) & (cid != PAD_ID)[:, None])
     base_a = ny_a * MAXDIM + nz_a * MAXDIM * MAXDIM            # (MC, 9)
     run_lo_a = base_a + jnp.maximum(ix_a - 1, 0)[:, None]
     run_hi_a = base_a + jnp.minimum(ix_a + 1, dims[0] - 1)[:, None]
@@ -121,6 +117,28 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     re_a = jnp.searchsorted(grid.sorted_ids, run_hi_a + 1, side="left",
                             method="sort").astype(jnp.int32)
     run_len_a = jnp.where(ok_run_a, re_a - rs_a, 0)
+    return rs_a, run_len_a
+
+
+def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
+                    tile_cells: int, run_cap: int, select_impl: str):
+    """Shared prologue for the single-bucket cell loop: working-set
+    guards + runs table + tile padding.
+
+    Returns (tile_args, tile_cells, select_impl) where tile_args are the
+    per-tile arrays reshaped to (num_tiles, tile_cells, ...).
+    """
+    n = grid.sorted_points.shape[0]
+    mc = cells.cell_id.shape[0]
+    tile_cells, select_impl = _working_set_guards(
+        capacity, tile_cells, run_cap, select_impl)
+    pad_tiles = (-mc) % tile_cells
+
+    cid = jnp.pad(cells.cell_id, (0, pad_tiles), constant_values=PAD_ID)
+    cstart = jnp.pad(cells.start, (0, pad_tiles), constant_values=n)
+    ccount = jnp.pad(cells.count, (0, pad_tiles))
+
+    rs_a, run_len_a = _runs_table(grid, cid)
     overflow_a = jnp.any(run_len_a > run_cap, axis=1)          # (MC,)
     run_len_a = jnp.minimum(run_len_a, run_cap)
 

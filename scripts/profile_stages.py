@@ -89,6 +89,47 @@ def main():
                          original_ids=False, lean=True)
         return jnp.sum(r.indices) + jnp.sum(r.dists) + jnp.sum(r.exact)
 
+    def _tiles(p, npts):
+        cell = estimate_cell_size(p, npts, K)
+        g = build_grid(p, npts, cell)
+        c = compact_cells(g, mc)
+        tile_args, tc, impl = _cellwise_setup(g, c, capacity, 128, run_cap,
+                                              default_select_impl())
+        return g, tile_args, impl
+
+    @jax.jit
+    def s_gather(p, npts):
+        g, tile_args, impl = _tiles(p, npts)
+        n = g.sorted_points.shape[0]
+
+        def one_tile(args):
+            cell_id, start, count, rs, run_len, _ = args
+            T = cell_id.shape[0]
+            slot = jnp.arange(run_cap, dtype=jnp.int32)
+            cand = jnp.minimum(rs[..., None] + slot, n - 1)
+            cand = cand.reshape(T, 9 * run_cap)
+            cpts = g.sorted_points[cand]
+            qrow = jnp.minimum(
+                start[:, None] + jnp.arange(capacity, dtype=jnp.int32), n - 1)
+            qpts = g.sorted_points[qrow]
+            return jnp.sum(cpts), jnp.sum(qpts)
+
+        a, b = jax.lax.map(one_tile, tile_args)
+        return jnp.sum(a) + jnp.sum(b)
+
+    @jax.jit
+    def s_select_noscatter(p, npts):
+        g, tile_args, impl = _tiles(p, npts)
+
+        def one_tile(args):
+            pos, dists, found, cand, _, _, qrow, ok_q, exact = _tile_select(
+                g, args, K, capacity, run_cap, impl)
+            return (jnp.sum(pos), jnp.sum(dists), jnp.sum(exact),
+                    jnp.sum(qrow))
+
+        a, b, c2, d = jax.lax.map(one_tile, tile_args)
+        return jnp.sum(a) + jnp.sum(b) + jnp.sum(c2) + jnp.sum(d)
+
     @jax.jit
     def s_full(p, npts):
         cell = estimate_cell_size(p, npts, K)
@@ -97,6 +138,8 @@ def main():
 
     stages = [("cell_size", s_cell), ("grid(sort)", s_grid),
               ("compact", s_compact), ("runs(searchsorted)", s_runs),
+              ("gather_only", s_gather),
+              ("gather+select", s_select_noscatter),
               ("knn(lean)", s_knn), ("fused_full", s_full)]
     prev = 0.0
     for name, fn in stages:

@@ -29,7 +29,7 @@ def main():
     from pct_tpu.pipeline.fused import fused_curvature
     from pct_tpu.shapes import analytic_curvatures, generate_shape
 
-    from pct_tpu.neighbors.cellknn import probe_grid
+    from pct_tpu.neighbors.cellknn import probe_grid_buckets
     from pct_tpu.neighbors.grid import build_grid
 
     N = 1_000_000
@@ -37,17 +37,17 @@ def main():
     pts, _ = generate_shape("torus", N, radius=1.0)
     cloud = from_numpy(pts, pad_multiple=1 << 16)
 
-    # one-time capacity probe (static-shape tuning; reused across runs of
-    # the same cloud family)
+    # one-time occupancy-bucket probe (static-shape tuning; reused across
+    # runs of the same cloud family)
     cell0 = estimate_cell_size(cloud.points, cloud.num_points, K_NEIGHBORS)
-    _, capacity, mc, run_cap = probe_grid(
+    spec, mc = probe_grid_buckets(
         build_grid(cloud.points, cloud.num_points, cell0))
 
     def run():
         cell = estimate_cell_size(cloud.points, cloud.num_points, K_NEIGHBORS)
         res = fused_curvature(cloud.points, cloud.num_points, cell,
-                              k=K_NEIGHBORS, capacity=capacity, max_cells=mc,
-                              run_cap=run_cap, method="explicit")
+                              k=K_NEIGHBORS, max_cells=mc,
+                              bucket_spec=spec, method="explicit")
         return res
 
     def sync(res):

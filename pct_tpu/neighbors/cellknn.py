@@ -346,6 +346,137 @@ def apply_cellwise(
     return out_n, exact_n, kth_n
 
 
+class BucketSpec(NamedTuple):
+    """Static shape class for one occupancy bucket of the cell loop.
+
+    Cells are partitioned by ``key = max(count, ceil(max_run/3))`` — the
+    per-cell size class that bounds BOTH padding axes (query slots and
+    candidate width). One (capacity, run_cap) compiled for the fullest
+    cell wastes ~3x VPU work on a typical density spread; per-bucket
+    statics keep the padding proportional to each cell's actual size.
+    """
+    hi_key: int      # bucket takes cells with key in (prev.hi_key, hi_key]
+    capacity: int    # query slots (>= max count among members)
+    run_cap: int     # candidate run width (>= max run among members)
+    max_cells: int   # static member-table size (tile-rounded)
+
+
+def _bucket_tables(grid: GridIndex, cells: CellTable,
+                   spec: tuple[BucketSpec, ...]):
+    """Device-side partition of the cell table (+ runs) by size class.
+
+    The last bucket also absorbs any key above its threshold (capped
+    cells fall to the repair path via overflow flags, as in the
+    single-bucket path). Returns per bucket:
+    (cid, start, count, rs, run_len_unclipped, lost) with static
+    ``max_cells`` rows each.
+    """
+    n = grid.sorted_points.shape[0]
+    rs_a, run_len_a = _runs_table(grid, cells.cell_id)
+    maxrun = jnp.max(run_len_a, axis=1)
+    key = jnp.maximum(cells.count, (maxrun + 2) // 3)
+    valid = cells.cell_id != PAD_ID
+    tables = []
+    lo = 0
+    for b, sp in enumerate(spec):
+        member = valid & (key > lo)
+        if b < len(spec) - 1:
+            member = member & (key <= sp.hi_key)
+        rank = jnp.cumsum(member.astype(jnp.int32)) - 1
+        slot = jnp.where(member, rank, sp.max_cells)
+
+        def sc(a, fill, slot=slot, mcb=sp.max_cells):
+            out = jnp.full((mcb,) + a.shape[1:], fill, a.dtype)
+            return out.at[slot].set(a, mode="drop")
+
+        tables.append((
+            sc(cells.cell_id, PAD_ID), sc(cells.start, n),
+            sc(cells.count, 0), sc(rs_a, 0), sc(run_len_a, 0),
+            jnp.any(member & (rank >= sp.max_cells)),
+        ))
+        lo = sp.hi_key
+    return tables
+
+
+def apply_cellwise_bucketed(
+    grid: GridIndex,
+    cells: CellTable,
+    k: int,
+    fn,
+    spec: tuple[BucketSpec, ...],
+    tile_cells: int = 128,
+    select_impl: str | None = None,
+    dest_order: str = "original",
+):
+    """``apply_cellwise`` over occupancy-bucketed cells: each bucket runs
+    the cell loop with its own (capacity, run_cap) statics, so padding
+    waste in the candidate gather, the select kernel, and the in-loop
+    ``fn`` tracks each cell's actual size instead of the global maximum.
+    Semantics identical to apply_cellwise (``probe_grid_buckets``
+    guarantees the spec covers every cell; anything beyond the last
+    bucket's statics degrades to exact=False, never to wrong results).
+
+    Returns (outputs pytree of (n, ...), exact (n,), kth_dist (n,)).
+    NOT jitted itself — call under jit.
+    """
+    if select_impl is None:
+        select_impl = default_select_impl()
+    n = grid.sorted_points.shape[0]
+    tables = _bucket_tables(grid, cells, spec)
+    outs, exacts, kths, dests = [], [], [], []
+    for sp, (cid_b, start_b, count_b, rs_b, rl_b, lost) in zip(spec, tables):
+        tc_b, impl_b = _working_set_guards(
+            sp.capacity, tile_cells, sp.run_cap, select_impl)
+        overflow_b = jnp.any(rl_b > sp.run_cap, axis=1) | lost
+        rl_b = jnp.minimum(rl_b, sp.run_cap)
+        pad = (-sp.max_cells) % tc_b
+        tile_args = (
+            jnp.pad(cid_b, (0, pad), constant_values=PAD_ID
+                    ).reshape(-1, tc_b),
+            jnp.pad(start_b, (0, pad), constant_values=n).reshape(-1, tc_b),
+            jnp.pad(count_b, (0, pad)).reshape(-1, tc_b),
+            jnp.pad(rs_b, ((0, pad), (0, 0))).reshape(-1, tc_b, 9),
+            jnp.pad(rl_b, ((0, pad), (0, 0))).reshape(-1, tc_b, 9),
+            jnp.pad(overflow_b, (0, pad)).reshape(-1, tc_b),
+        )
+
+        def one_tile(args, capacity=sp.capacity, run_cap=sp.run_cap,
+                     impl=impl_b):
+            pos, dists, found, _, cpts, qpts, qrow, ok_q, exact = \
+                _tile_select(grid, args, k, capacity, run_cap, impl)
+            T = pos.shape[0]
+            nbrs = jnp.take_along_axis(
+                cpts, pos.reshape(T, -1)[:, :, None], axis=1
+            ).reshape(T, capacity, k, 3)
+            out = fn(nbrs - qpts[:, :, None, :], found)
+            return out, exact & ok_q, dists[..., k - 1], qrow, ok_q
+
+        out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, tile_args)
+        flat = lambda a: a.reshape((-1,) + a.shape[3:])
+        dest_rows = flat(qrow)
+        if dest_order == "original":
+            dest_rows = grid.order[dest_rows]
+        dests.append(jnp.where(flat(ok_q), dest_rows, n))
+        outs.append(jax.tree_util.tree_map(flat, out))
+        exacts.append(flat(exact))
+        kths.append(flat(kth))
+
+    dest = jnp.concatenate(dests)
+    exact = jnp.concatenate(exacts)
+    kth = jnp.concatenate(kths)
+    out = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
+
+    def scatter(a):
+        return jnp.zeros((n,) + a.shape[1:], a.dtype).at[dest].set(
+            a, mode="drop")
+
+    out_n = jax.tree_util.tree_map(scatter, out)
+    exact_n = jnp.zeros((n,), bool).at[dest].set(
+        exact & (~cells.overflow), mode="drop")
+    kth_n = jnp.zeros((n,), jnp.float32).at[dest].set(kth, mode="drop")
+    return out_n, exact_n, kth_n
+
+
 def default_max_cells(n: int, k: int, tile_cells: int = 128) -> int:
     """Static occupied-cell budget: expected cells ≈ n/(1.9k) for
     auto-sized grids; 4× headroom, rounded to the tile size."""
@@ -420,6 +551,90 @@ def probe_grid(grid: GridIndex, tile_cells: int = 128, capacity_cap: int = 256
     run_cap = int(np.asarray(_max_run_length(grid, cells)))
     run_cap = min(_round_up(max(run_cap, 4), 8), 3 * capacity)
     return cells, capacity, mc, run_cap
+
+
+@jax.jit
+def _probe_maxrun(grid: GridIndex, cells: CellTable) -> jax.Array:
+    """(MC,) per-cell max 3-cell x-run length over the 9 (dy,dz) offsets."""
+    _, run_len_a = _runs_table(grid, cells.cell_id)
+    return jnp.max(run_len_a, axis=1)
+
+
+def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
+                       capacity_cap: int = 256, max_buckets: int = 3,
+                       size_unit: int | None = None
+                       ) -> tuple[tuple[BucketSpec, ...], int]:
+    """Host-side bucket tuning: one compaction + runs probe + one sync.
+
+    Partitions occupied cells by size class key = max(count,
+    ceil(max_run/3)) into <= max_buckets buckets, choosing the 8-aligned
+    thresholds that minimize the modeled cell-loop cost
+    Σ_b cells_b · capacity_b · (9·run_cap_b + 32) — the select kernel's
+    work plus a constant per-slot term for the fused curvature chain.
+    Sizes are rounded to ``size_unit`` (default 4·tile_cells: sub-1%
+    padded-cell waste at production sizes; statics change per cloud, so
+    rely on the persistent compilation cache for reuse within a family).
+
+    Returns (spec, max_cells_total) for apply_cellwise_bucketed /
+    compact_cells.
+    """
+    import numpy as np
+
+    n = grid.sorted_points.shape[0]
+    probe = compact_cells(grid, n)
+    num_cells = int(np.asarray(probe.num_cells))
+    counts = np.asarray(probe.count)[:num_cells]
+    maxrun = np.asarray(_probe_maxrun(grid, probe))[:num_cells]
+    key = np.maximum(counts, (maxrun + 2) // 3)
+
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    # prefix maxima over key-sorted cells -> O(1) per-range maxima
+    cmax_pre = np.maximum.accumulate(counts[order])
+    rmax_pre = np.maximum.accumulate(maxrun[order])
+
+    def r8(x):
+        return max(8, ((int(x) + 7) // 8) * 8)
+
+    unit = size_unit if size_unit is not None else 4 * tile_cells
+
+    def bucket_cost(lo_i, hi_i):
+        """cells with sorted index in [lo_i, hi_i) form one bucket."""
+        m = hi_i - lo_i
+        if m <= 0:
+            return 0.0, None
+        cap = min(r8(cmax_pre[hi_i - 1]), capacity_cap)
+        rc = min(r8(rmax_pre[hi_i - 1]), 3 * cap)
+        size = ((m + unit - 1) // unit) * unit
+        cost = float(size) * cap * (9 * rc + 32)
+        hi_key = int(key_s[hi_i - 1])
+        return cost, BucketSpec(hi_key=hi_key, capacity=cap, run_cap=rc,
+                                max_cells=size)
+
+    kmax = int(key_s[-1]) if num_cells else 8
+    cands = sorted({min(c, kmax) for c in range(8, r8(kmax) + 1, 8)})
+    # split indices for each candidate threshold
+    splits = {c: int(np.searchsorted(key_s, c, side="right")) for c in cands}
+
+    best = None
+    from itertools import combinations
+    for nb in range(1, max_buckets + 1):
+        for inner in combinations([c for c in cands if c < kmax], nb - 1):
+            idxs = [0] + [splits[c] for c in inner] + [num_cells]
+            total, spec = 0.0, []
+            for lo_i, hi_i in zip(idxs[:-1], idxs[1:]):
+                cost, sp = bucket_cost(lo_i, hi_i)
+                total += cost
+                if sp is not None:
+                    spec.append(sp)
+            if spec and (best is None or total < best[0]):
+                best = (total, tuple(spec))
+    spec = best[1] if best else (
+        BucketSpec(hi_key=8, capacity=8, run_cap=24, max_cells=unit),)
+
+    mc = _round_up(max(num_cells, tile_cells), tile_cells)
+    mc = min(1 << (mc - 1).bit_length(), _round_up(n, tile_cells))
+    return spec, mc
 
 
 def knn_all_points_auto(grid: GridIndex, k: int, tile_cells: int = 128

@@ -34,6 +34,7 @@ from pct_tpu.fit.quadratic import fit_quadratic
 from pct_tpu.fit.quadric import fit_quadric
 from pct_tpu.neighbors.cellknn import (
     apply_cellwise,
+    apply_cellwise_bucketed,
     compact_cells,
     default_max_cells,
 )
@@ -66,7 +67,8 @@ def _curvature_of_neighborhoods(centered, method, implicit_mode):
 
 
 @partial(jax.jit, static_argnames=("k", "capacity", "max_cells", "tile_cells",
-                                   "run_cap", "method", "implicit_mode"))
+                                   "run_cap", "method", "implicit_mode",
+                                   "bucket_spec"))
 def fused_curvature(
     points: jax.Array,
     num_points: jax.Array,
@@ -78,12 +80,16 @@ def fused_curvature(
     run_cap: int | None = None,
     method: str = "explicit",
     implicit_mode: str = "exact",
+    bucket_spec: tuple | None = None,
 ) -> FusedResult:
     """One XLA program: everything from raw padded points to curvatures.
 
     Static capacities (``capacity``, ``max_cells``, ``run_cap``) default
     to conservative heuristics; pass the values from
-    ``neighbors.cellknn.probe_grid`` for a tuned zero-waste layout. No
+    ``neighbors.cellknn.probe_grid`` for a tuned zero-waste layout, or a
+    ``bucket_spec`` from ``probe_grid_buckets`` (tuple of BucketSpec) to
+    run the cell loop occupancy-bucketed — padding waste then tracks each
+    cell's actual size (capacity/run_cap are ignored in that case). No
     exactness repair pass inside (that needs a host decision) — the
     ``exact`` output lets the caller audit coverage.
     """
@@ -101,8 +107,13 @@ def fused_curvature(
             centered, method, implicit_mode)
         return curv, normal
 
-    (curv, normals), exact, kth = apply_cellwise(
-        grid, cells, k, fn, capacity=capacity, tile_cells=tile_cells,
-        run_cap=run_cap, dest_order="original")
+    if bucket_spec is not None:
+        (curv, normals), exact, kth = apply_cellwise_bucketed(
+            grid, cells, k, fn, bucket_spec, tile_cells=tile_cells,
+            dest_order="original")
+    else:
+        (curv, normals), exact, kth = apply_cellwise(
+            grid, cells, k, fn, capacity=capacity, tile_cells=tile_cells,
+            run_cap=run_cap, dest_order="original")
     return FusedResult(curv=curv, normals=normals, exact=exact,
                        kth_dist=kth)

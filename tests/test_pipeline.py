@@ -122,6 +122,44 @@ def test_fused_cellwise_matches_staged_pipeline():
                                rtol=1e-5)
 
 
+def test_fused_bucketed_matches_unbucketed():
+    """Occupancy-bucketed cell loop must return identical results to the
+    single-bucket path (same kNN, same math — only static padding
+    differs), including on a pathological two-density cloud."""
+    from pct_tpu.neighbors.cellknn import probe_grid_buckets
+    from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+    from pct_tpu.pipeline.fused import fused_curvature
+
+    rng = np.random.default_rng(7)
+    torus, _ = generate_shape("torus", 2500, radius=1.0)
+    # 180 < capacity_cap so the dense blob stays fully covered (a single
+    # cell's population beyond capacity_cap degrades to exact=False)
+    blob = rng.normal(size=(180, 3)).astype(np.float32) * 0.02 + 2.5
+    pts = np.concatenate([torus, blob]).astype(np.float32)
+    cloud = from_numpy(pts)
+    n = len(pts)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, 16)
+    spec, mc = probe_grid_buckets(
+        build_grid(cloud.points, cloud.num_points, cell), size_unit=32)
+    assert len(spec) >= 2, f"density spread should produce buckets: {spec}"
+    base = fused_curvature(cloud.points, cloud.num_points, cell, k=16,
+                           max_cells=mc)
+    buck = fused_curvature(cloud.points, cloud.num_points, cell, k=16,
+                           max_cells=mc, bucket_spec=spec)
+    eb = np.asarray(buck.exact)[:n]
+    e0 = np.asarray(base.exact)[:n]
+    assert eb.mean() > 0.99
+    # bucketed exactness can only match or improve (tighter statics)
+    assert (eb | ~e0).all()
+    both = eb & e0
+    np.testing.assert_array_equal(np.asarray(buck.curv.K)[:n][both],
+                                  np.asarray(base.curv.K)[:n][both])
+    np.testing.assert_array_equal(np.asarray(buck.normals)[:n][both],
+                                  np.asarray(base.normals)[:n][both])
+    np.testing.assert_array_equal(np.asarray(buck.kth_dist)[:n][both],
+                                  np.asarray(base.kth_dist)[:n][both])
+
+
 def test_fused_cellwise_implicit_method():
     from pct_tpu.neighbors.grid import estimate_cell_size
     from pct_tpu.pipeline.fused import fused_curvature

@@ -151,13 +151,19 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
 
 
 def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
-                 select_impl: str):
+                 select_impl: str, want_coords: bool = False):
     """One tile of the cell loop: candidate fetch + fused k-selection.
 
     Returns (pos (T,C,k) winner positions in the M candidate axis,
     dists (T,C,k) ascending, found (T,C,k), cand (T,M) candidate sorted
     rows, cpts (T,M,3) candidate coords, qpts (T,C,3), qrow (T,C),
     ok_q (T,C) real-query mask, exact (T,C) coverage certificate).
+
+    With ``want_coords`` the first element is instead the winner
+    COORDINATES (T,C,k,3): on the pallas path they are extracted inside
+    the kernel (see ops.pallas_select.knn_select_coords — no winner
+    gather), on the XLA path via a tile-local take_along_axis. Both
+    paths pick identical winners (first-argmin tie order).
     """
     n = grid.sorted_points.shape[0]
     dims = grid.dims
@@ -176,12 +182,22 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
                                                    dtype=jnp.int32), n - 1)
     ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
     qpts = grid.sorted_points[qrow]                          # (T, C, 3)
+    pos = None
+    nbrs = None
     if select_impl == "pallas" or select_impl == "pallas_interpret":
-        from pct_tpu.ops.pallas_select import knn_select
+        interpret = select_impl == "pallas_interpret"
+        if want_coords:
+            from pct_tpu.ops.pallas_select import knn_select_coords
 
-        dists, pos = knn_select(
-            qpts, cpts, cand, qrow, ok_cand.astype(jnp.int32), k,
-            interpret=(select_impl == "pallas_interpret"))
+            dists, nbrs = knn_select_coords(
+                qpts, cpts, cand, qrow, ok_cand.astype(jnp.int32), k,
+                interpret=interpret)
+        else:
+            from pct_tpu.ops.pallas_select import knn_select
+
+            dists, pos = knn_select(
+                qpts, cpts, cand, qrow, ok_cand.astype(jnp.int32), k,
+                interpret=interpret)
         found = dists < 1e18     # kernel backs missing slots with ~3e38
     else:
         # --- XLA path: MXU distance expansion in cell-local coords ---
@@ -217,6 +233,12 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
     cover = jnp.minimum(jnp.min(left, axis=-1), jnp.min(right, axis=-1))
     exact = (found[..., k - 1] & (dists[..., k - 1] <= cover)
              & (~run_overflow[:, None]))
+    if want_coords:
+        if nbrs is None:
+            nbrs = jnp.take_along_axis(
+                cpts, pos.reshape(T, -1)[:, :, None], axis=1
+            ).reshape(T, capacity, k, 3)
+        return nbrs, dists, found, cand, cpts, qpts, qrow, ok_q, exact
     return pos, dists, found, cand, cpts, qpts, qrow, ok_q, exact
 
 
@@ -315,13 +337,8 @@ def apply_cellwise(
         grid, cells, capacity, tile_cells, run_cap, select_impl)
 
     def one_tile(args):
-        pos, dists, found, _, cpts, qpts, qrow, ok_q, exact = _tile_select(
-            grid, args, k, capacity, run_cap, select_impl)
-        T = pos.shape[0]
-        # tile-local winner gather: (T,M,3) -> (T,C,k,3)
-        nbrs = jnp.take_along_axis(
-            cpts, pos.reshape(T, -1)[:, :, None], axis=1
-        ).reshape(T, capacity, k, 3)
+        nbrs, dists, found, _, _, qpts, qrow, ok_q, exact = _tile_select(
+            grid, args, k, capacity, run_cap, select_impl, want_coords=True)
         centered = nbrs - qpts[:, :, None, :]
         out = fn(centered, found)
         return out, exact & ok_q, dists[..., k - 1], qrow, ok_q
@@ -442,12 +459,9 @@ def apply_cellwise_bucketed(
 
         def one_tile(args, capacity=sp.capacity, run_cap=sp.run_cap,
                      impl=impl_b):
-            pos, dists, found, _, cpts, qpts, qrow, ok_q, exact = \
-                _tile_select(grid, args, k, capacity, run_cap, impl)
-            T = pos.shape[0]
-            nbrs = jnp.take_along_axis(
-                cpts, pos.reshape(T, -1)[:, :, None], axis=1
-            ).reshape(T, capacity, k, 3)
+            nbrs, dists, found, _, _, qpts, qrow, ok_q, exact = \
+                _tile_select(grid, args, k, capacity, run_cap, impl,
+                             want_coords=True)
             out = fn(nbrs - qpts[:, :, None, :], found)
             return out, exact & ok_q, dists[..., k - 1], qrow, ok_q
 

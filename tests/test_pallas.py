@@ -34,6 +34,61 @@ def test_knn_select_matches_numpy(rng):
     assert (d[~fin] > 1e18).all()
 
 
+def test_knn_select_coords_matches_select(rng):
+    """The coords-emitting kernel must pick the same winners as the
+    position-emitting kernel and return exactly cpts[pos]."""
+    from pct_tpu.ops.pallas_select import knn_select_coords
+
+    T, C, M, K = 6, 8, 48, 5
+    q = rng.standard_normal((T, C, 3)).astype(np.float32)
+    p = rng.standard_normal((T, M, 3)).astype(np.float32)
+    cand = rng.integers(0, 500, (T, M)).astype(np.int32)
+    qrow = cand[:, :C].copy()
+    valid = (rng.random((T, M)) < 0.85).astype(np.int32)
+    d, pos = knn_select(jnp.asarray(q), jnp.asarray(p), jnp.asarray(cand),
+                        jnp.asarray(qrow), jnp.asarray(valid), K,
+                        interpret=True)
+    dc, nbrs = knn_select_coords(
+        jnp.asarray(q), jnp.asarray(p), jnp.asarray(cand),
+        jnp.asarray(qrow), jnp.asarray(valid), K, interpret=True)
+    np.testing.assert_array_equal(np.asarray(dc), np.asarray(d))
+    want = p[np.arange(T)[:, None, None], np.asarray(pos)]
+    np.testing.assert_array_equal(np.asarray(nbrs), want)
+
+
+def test_apply_cellwise_coords_kernel_matches_ids_kernel():
+    """apply_cellwise's in-kernel coordinate extraction must hand fn
+    exactly sorted_points[idx] - query for the SAME winners the
+    ids-emitting kernel picks (both interpret-mode: identical d2, so
+    identical tie order — unlike the XLA path, whose MXU distance
+    expansion can flip near-ties)."""
+    from pct_tpu.neighbors.cellknn import apply_cellwise
+
+    pts, _ = generate_shape("torus", 2000, radius=1.0)
+    cloud = from_numpy(pts)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, 10)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    cells, cap, mc, run_cap = probe_grid(grid)
+
+    def fn(centered, found):
+        return centered
+
+    out, exact, kth = apply_cellwise(
+        grid, cells, 10, fn, capacity=cap, run_cap=run_cap,
+        select_impl="pallas_interpret", dest_order="sorted")
+    res = knn_cellwise(grid, cells, 10, capacity=cap, run_cap=run_cap,
+                       select_impl="pallas_interpret", original_ids=False)
+    sp = np.asarray(grid.sorted_points)
+    nv = int(np.asarray(grid.num_valid))
+    idx = np.asarray(res.indices)[:nv]
+    want = sp[idx] - sp[:nv, None, :]
+    np.testing.assert_array_equal(np.asarray(out)[:nv], want)
+    np.testing.assert_array_equal(np.asarray(exact)[:nv],
+                                  np.asarray(res.exact)[:nv])
+    np.testing.assert_array_equal(np.asarray(kth)[:nv],
+                                  np.asarray(res.dists)[:nv, -1])
+
+
 def test_cellwise_pallas_path_matches_xla():
     pts, _ = generate_shape("torus", 3000, radius=1.0)
     cloud = from_numpy(pts)

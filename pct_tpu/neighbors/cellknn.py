@@ -279,26 +279,36 @@ def knn_cellwise(
         t_ix = jnp.arange(cand.shape[0], dtype=jnp.int32)[:, None, None]
         cand_sorted = cand[t_ix, pos]
         idx_orig = grid.order[cand_sorted] if original_ids else cand_sorted
-        return idx_orig, dists, found, exact & ok_q, qrow, ok_q
+        return idx_orig, dists, found, exact & ok_q
 
-    idx, dists, found, exact, qrow, ok_q = jax.lax.map(one_tile, tile_args)
+    idx, dists, found, exact = jax.lax.map(one_tile, tile_args)
 
     flat = lambda a: a.reshape((-1,) + a.shape[3:])
     idx, dists, found = flat(idx), flat(dists), flat(found)
-    exact, qrow, ok_q = flat(exact), flat(qrow), flat(ok_q)
-    # scatter per-cell-slot results to sorted-row order
-    dest = jnp.where(ok_q, qrow, n)
-    out_idx = jnp.zeros((n, k), jnp.int32).at[dest].set(idx, mode="drop")
-    out_e = jnp.zeros((n,), bool).at[dest].set(
-        exact & (~cells.overflow), mode="drop")
+    exact = flat(exact)
+    # reorder (cell,slot) results to sorted-row order with a GATHER, not
+    # a scatter (XLA scatter on TPU costs ~1s/1M×k=20 rows; the inverse
+    # map is computable per row): row r lives in occupied-cell rank b_r
+    # at slot r - start[b_r], i.e. flat source row b_r·capacity + slot.
+    ids = grid.sorted_ids
+    prev = jnp.concatenate([jnp.full((1,), -1, ids.dtype), ids[:-1]])
+    is_first = (ids != prev) & (ids != PAD_ID)
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1          # (n,)
+    mc_total = cells.cell_id.shape[0]
+    rank_c = jnp.minimum(rank, mc_total - 1)
+    slot_r = jnp.arange(n, dtype=jnp.int32) - cells.start[rank_c]
+    covered = ((ids != PAD_ID) & (rank < mc_total)
+               & (slot_r >= 0) & (slot_r < capacity))
+    src = jnp.where(covered, rank_c * capacity
+                    + jnp.clip(slot_r, 0, capacity - 1), 0)
+    out_idx = jnp.where(covered[:, None], idx[src], 0)
+    out_e = covered & exact[src] & (~cells.overflow)
     if lean:
-        # the fused pipeline only needs indices + kth distance: skip the
-        # (n, k) dists/found scatters (~170M elements at 1M×k=20)
-        kth = jnp.zeros((n,), jnp.float32).at[dest].set(dists[:, -1],
-                                                        mode="drop")
+        # the fused pipeline only needs indices + kth distance
+        kth = jnp.where(covered, dists[src, k - 1], 0.0)
         return NeighborResult(out_idx, kth[:, None], None, out_e)
-    out_d = jnp.zeros((n, k), jnp.float32).at[dest].set(dists, mode="drop")
-    out_f = jnp.zeros((n, k), bool).at[dest].set(found, mode="drop")
+    out_d = jnp.where(covered[:, None], dists[src], 0.0)
+    out_f = jnp.where(covered[:, None], found[src], False)
     return NeighborResult(out_idx, out_d, out_f, out_e)
 
 

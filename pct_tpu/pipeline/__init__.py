@@ -5,6 +5,11 @@ from pct_tpu.pipeline.curvature_pipeline import (  # noqa: F401
     curvature_pipeline,
     pointwise_curvature,
 )
+from pct_tpu.pipeline.fused import (  # noqa: F401
+    FusedResult,
+    fast_curvature,
+    fused_curvature,
+)
 from pct_tpu.pipeline.neighbor_study import (  # noqa: F401
     explicit_quadratic_neighbor_study,
 )

@@ -117,3 +117,25 @@ def fused_curvature(
             run_cap=run_cap, dest_order="original")
     return FusedResult(curv=curv, normals=normals, exact=exact,
                        kth_dist=kth)
+
+
+def fast_curvature(cloud, k: int = 20, method: str = "explicit",
+                   implicit_mode: str = "exact") -> FusedResult:
+    """Probe-tuned fused curvature on a PointCloud: the fastest path.
+
+    Convenience wrapper over ``fused_curvature``: estimates the grid
+    cell size, runs the host-side occupancy-bucket probe
+    (``probe_grid_buckets`` — one compaction + one sync, amortized by
+    the compilation cache across clouds of a family), and executes the
+    single-jit bucketed pipeline. Use ``curvature_pipeline`` instead
+    when you also need neighbor indices/distances or fit coefficients.
+    """
+    from pct_tpu.neighbors.cellknn import probe_grid_buckets
+    from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+
+    cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    spec, mc = probe_grid_buckets(
+        build_grid(cloud.points, cloud.num_points, cell))
+    return fused_curvature(cloud.points, cloud.num_points, cell, k=k,
+                           max_cells=mc, bucket_spec=spec, method=method,
+                           implicit_mode=implicit_mode)

@@ -151,19 +151,23 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
 
 
 def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
-                 select_impl: str, want_coords: bool = False):
+                 select_impl: str, want: str = "pos"):
     """One tile of the cell loop: candidate fetch + fused k-selection.
 
-    Returns (pos (T,C,k) winner positions in the M candidate axis,
-    dists (T,C,k) ascending, found (T,C,k), cand (T,M) candidate sorted
-    rows, cpts (T,M,3) candidate coords, qpts (T,C,3), qrow (T,C),
-    ok_q (T,C) real-query mask, exact (T,C) coverage certificate).
+    Returns (win, dists (T,C,k) ascending, found (T,C,k), cand (T,M)
+    candidate sorted rows, cpts (T,M,3) candidate coords, qpts (T,C,3),
+    qrow (T,C), ok_q (T,C) real-query mask, exact (T,C) coverage
+    certificate), where ``win`` depends on ``want``:
 
-    With ``want_coords`` the first element is instead the winner
-    COORDINATES (T,C,k,3): on the pallas path they are extracted inside
-    the kernel (see ops.pallas_select.knn_select_coords — no winner
-    gather), on the XLA path via a tile-local take_along_axis. Both
-    paths pick identical winners (first-argmin tie order).
+    - "pos":    (T,C,k) winner positions in the M candidate axis
+    - "rows":   (T,C,k) winner GLOBAL sorted-row ids (== cand[pos])
+    - "coords": (T,C,k,3) winner coordinates (== cpts[pos])
+
+    For "rows"/"coords" the pallas path extracts the values inside the
+    kernel (ops.pallas_select.knn_select_rows / knn_select_coords — the
+    (T,C,k) winner gather, ~0.2s/1M on v5e, never happens); the XLA
+    path gathers tile-locally. Both paths pick identical winners
+    (first-argmin tie order) under identical distance math.
     """
     n = grid.sorted_points.shape[0]
     dims = grid.dims
@@ -183,21 +187,25 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
     ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
     qpts = grid.sorted_points[qrow]                          # (T, C, 3)
     pos = None
-    nbrs = None
+    win = None
     if select_impl == "pallas" or select_impl == "pallas_interpret":
         interpret = select_impl == "pallas_interpret"
-        if want_coords:
+        ok_i = ok_cand.astype(jnp.int32)
+        if want == "coords":
             from pct_tpu.ops.pallas_select import knn_select_coords
 
-            dists, nbrs = knn_select_coords(
-                qpts, cpts, cand, qrow, ok_cand.astype(jnp.int32), k,
-                interpret=interpret)
+            dists, win = knn_select_coords(qpts, cpts, cand, qrow, ok_i, k,
+                                           interpret=interpret)
+        elif want == "rows":
+            from pct_tpu.ops.pallas_select import knn_select_rows
+
+            dists, win = knn_select_rows(qpts, cpts, cand, qrow, ok_i, k,
+                                         interpret=interpret)
         else:
             from pct_tpu.ops.pallas_select import knn_select
 
-            dists, pos = knn_select(
-                qpts, cpts, cand, qrow, ok_cand.astype(jnp.int32), k,
-                interpret=interpret)
+            dists, pos = knn_select(qpts, cpts, cand, qrow, ok_i, k,
+                                    interpret=interpret)
         found = dists < 1e18     # kernel backs missing slots with ~3e38
     else:
         # --- XLA path: MXU distance expansion in cell-local coords ---
@@ -233,12 +241,16 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
     cover = jnp.minimum(jnp.min(left, axis=-1), jnp.min(right, axis=-1))
     exact = (found[..., k - 1] & (dists[..., k - 1] <= cover)
              & (~run_overflow[:, None]))
-    if want_coords:
-        if nbrs is None:
-            nbrs = jnp.take_along_axis(
+    if win is None and want != "pos":
+        if want == "coords":
+            win = jnp.take_along_axis(
                 cpts, pos.reshape(T, -1)[:, :, None], axis=1
             ).reshape(T, capacity, k, 3)
-        return nbrs, dists, found, cand, cpts, qpts, qrow, ok_q, exact
+        else:  # rows
+            t_ix = jnp.arange(T, dtype=jnp.int32)[:, None, None]
+            win = cand[t_ix, pos]
+    if want != "pos":
+        return win, dists, found, cand, cpts, qpts, qrow, ok_q, exact
     return pos, dists, found, cand, cpts, qpts, qrow, ok_q, exact
 
 
@@ -273,12 +285,9 @@ def knn_cellwise(
         grid, cells, capacity, tile_cells, run_cap, select_impl)
 
     def one_tile(args):
-        pos, dists, found, cand, _, _, qrow, ok_q, exact = _tile_select(
-            grid, args, k, capacity, run_cap, select_impl)
-        # gather winning candidate rows WITHOUT materializing (T, C, M)
-        t_ix = jnp.arange(cand.shape[0], dtype=jnp.int32)[:, None, None]
-        cand_sorted = cand[t_ix, pos]
-        idx_orig = grid.order[cand_sorted] if original_ids else cand_sorted
+        rows, dists, found, _, _, _, qrow, ok_q, exact = _tile_select(
+            grid, args, k, capacity, run_cap, select_impl, want="rows")
+        idx_orig = grid.order[rows] if original_ids else rows
         return idx_orig, dists, found, exact & ok_q
 
     idx, dists, found, exact = jax.lax.map(one_tile, tile_args)
@@ -348,7 +357,7 @@ def apply_cellwise(
 
     def one_tile(args):
         nbrs, dists, found, _, _, qpts, qrow, ok_q, exact = _tile_select(
-            grid, args, k, capacity, run_cap, select_impl, want_coords=True)
+            grid, args, k, capacity, run_cap, select_impl, want="coords")
         centered = nbrs - qpts[:, :, None, :]
         out = fn(centered, found)
         return out, exact & ok_q, dists[..., k - 1], qrow, ok_q
@@ -471,7 +480,7 @@ def apply_cellwise_bucketed(
                      impl=impl_b):
             nbrs, dists, found, _, _, qpts, qrow, ok_q, exact = \
                 _tile_select(grid, args, k, capacity, run_cap, impl,
-                             want_coords=True)
+                             want="coords")
             out = fn(nbrs - qpts[:, :, None, :], found)
             return out, exact & ok_q, dists[..., k - 1], qrow, ok_q
 

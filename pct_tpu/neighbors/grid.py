@@ -93,7 +93,7 @@ def build_grid(points: jax.Array, num_points: jax.Array,
 
 @partial(jax.jit, static_argnames=("sample",))
 def estimate_cell_size(points: jax.Array, num_points: jax.Array, k: int | jax.Array,
-                       sample: int = 1024) -> jax.Array:
+                       sample: int = 512) -> jax.Array:
     """Heuristic cell size so the k nearest neighbors of a surface-sampled
     point fall inside a 3×3×3 cell neighborhood. For a 2-manifold with
     mean 1-NN spacing d̄ the kth-neighbor radius is r_k ≈ 1.13·d̄·√k
@@ -103,7 +103,7 @@ def estimate_cell_size(points: jax.Array, num_points: jax.Array, k: int | jax.Ar
     we take 1.35·d̄·√k."""
     from pct_tpu.neighbors.bruteforce import mean_nn_distance
 
-    dbar = mean_nn_distance(points, num_points, sample=sample)
+    dbar = mean_nn_distance(points, num_points, sample=sample, chunk=65536)
     return 1.35 * dbar * jnp.sqrt(jnp.float32(k))
 
 

@@ -107,6 +107,91 @@ def _select_coords_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
         d2 = jnp.where(sel, _INF, d2)
 
 
+def _select_rows_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
+                        cand_ref, qrow_ref, len_ref,
+                        dist_ref, row_ref, *, k: int):
+    """Variant of _select_kernel that emits the winners' GLOBAL sorted
+    rows (cand[pos]) instead of positions: the caller's (T,C,k) winner-id
+    gather from the candidate table never happens (one extra masked int
+    reduction per round, reusing the mask-out select)."""
+    qx, qy, qz = qx_ref[:], qy_ref[:], qz_ref[:]     # (Tp, C)
+    px, py, pz = px_ref[:], py_ref[:], pz_ref[:]     # (Tp, M)
+    cand = cand_ref[:]
+    qrow = qrow_ref[:]
+    run_len = len_ref[:]
+
+    dx = qx[:, :, None] - px[:, None, :]
+    dy = qy[:, :, None] - py[:, None, :]
+    dz = qz[:, :, None] - pz[:, None, :]
+    d2 = dx * dx + dy * dy + dz * dz                 # (Tp, C, M)
+
+    ok = (run_len[:, None, :] > 0) & (cand[:, None, :] != qrow[:, :, None])
+    d2 = jnp.where(ok, d2, _INF)
+
+    m = d2.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, dimension=2)
+    candb = cand[:, None, :]
+    for j in range(k):
+        mn = jnp.min(d2, axis=-1)                    # (Tp, C)
+        hit = d2 == mn[:, :, None]
+        am = jnp.min(jnp.where(hit, iota, m), axis=-1)   # first argmin
+        sel = iota == am[:, :, None]
+        dist_ref[:, :, j] = jnp.sqrt(jnp.maximum(mn, 0.0))
+        row_ref[:, :, j] = jnp.sum(jnp.where(sel, candb, 0), axis=-1)
+        d2 = jnp.where(sel, _INF, d2)
+
+
+@partial(jax.jit, static_argnames=("k", "block_cells", "interpret"))
+def knn_select_rows(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
+                    qrow: jax.Array, valid: jax.Array, k: int,
+                    block_cells: int = 8, interpret: bool = False):
+    """(T,C,3) queries vs (T,M,3) candidates ->
+    (dists (T,C,k), rows (T,C,k) winner sorted-row ids == cand[pos])."""
+    t, c, _ = qpts.shape
+    m = cpts.shape[1]
+    pad_t = (-t) % block_cells
+    if pad_t:
+        qpts = jnp.pad(qpts, ((0, pad_t), (0, 0), (0, 0)))
+        cpts = jnp.pad(cpts, ((0, pad_t), (0, 0), (0, 0)))
+        cand = jnp.pad(cand, ((0, pad_t), (0, 0)), constant_values=-2)
+        qrow = jnp.pad(qrow, ((0, pad_t), (0, 0)), constant_values=-1)
+        valid = jnp.pad(valid, ((0, pad_t), (0, 0)))
+    tp = qpts.shape[0]
+    grid = (tp // block_cells,)
+
+    b3 = lambda i: (i, 0, 0)
+    b2 = lambda i: (i, 0)
+    vm = pltpu.VMEM
+
+    dists, rows = pl.pallas_call(
+        partial(_select_rows_kernel, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_cells, c), b2, memory_space=vm),
+            pl.BlockSpec((block_cells, c), b2, memory_space=vm),
+            pl.BlockSpec((block_cells, c), b2, memory_space=vm),
+            pl.BlockSpec((block_cells, m), b2, memory_space=vm),
+            pl.BlockSpec((block_cells, m), b2, memory_space=vm),
+            pl.BlockSpec((block_cells, m), b2, memory_space=vm),
+            pl.BlockSpec((block_cells, m), b2, memory_space=vm),
+            pl.BlockSpec((block_cells, c), b2, memory_space=vm),
+            pl.BlockSpec((block_cells, m), b2, memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_cells, c, k), b3, memory_space=vm),
+            pl.BlockSpec((block_cells, c, k), b3, memory_space=vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, c, k), jnp.float32),
+            jax.ShapeDtypeStruct((tp, c, k), jnp.int32),
+        ),
+        interpret=interpret,
+    )(qpts[..., 0], qpts[..., 1], qpts[..., 2],
+      cpts[..., 0], cpts[..., 1], cpts[..., 2],
+      cand, qrow, valid)
+    return dists[:t], rows[:t]
+
+
 @partial(jax.jit, static_argnames=("k", "block_cells", "interpret"))
 def knn_select_coords(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
                       qrow: jax.Array, valid: jax.Array, k: int,

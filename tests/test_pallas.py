@@ -56,6 +56,41 @@ def test_knn_select_coords_matches_select(rng):
     np.testing.assert_array_equal(np.asarray(nbrs), want)
 
 
+def test_knn_select_rows_matches_numpy(rng):
+    """The rows-emitting kernel must return the k nearest candidates'
+    global row ids with matching distances. (Compared against a numpy
+    oracle rather than knn_select bitwise: the two kernels' d2 can
+    differ by 1 ulp through different FMA contractions.)"""
+    from pct_tpu.ops.pallas_select import knn_select_rows
+
+    T, C, M, K = 6, 8, 48, 5
+    q = rng.standard_normal((T, C, 3)).astype(np.float32)
+    p = rng.standard_normal((T, M, 3)).astype(np.float32)
+    # unique candidate ids per tile so row -> position is well-defined
+    cand = np.stack([rng.permutation(500)[:M] for _ in range(T)]
+                    ).astype(np.int32)
+    qrow = cand[:, :C].copy()          # force self-exclusion hits
+    valid = (rng.random((T, M)) < 0.85).astype(np.int32)
+    dr, rows = knn_select_rows(
+        jnp.asarray(q), jnp.asarray(p), jnp.asarray(cand),
+        jnp.asarray(qrow), jnp.asarray(valid), K, interpret=True)
+    dr, rows = np.asarray(dr), np.asarray(rows)
+    d2 = ((q[:, :, None, :] - p[:, None, :, :]) ** 2).sum(-1)
+    ok = (valid[:, None, :] > 0) & (cand[:, None, :] != qrow[:, :, None])
+    ref = np.sort(np.where(ok, d2, np.inf), axis=-1)[:, :, :K] ** 0.5
+    fin = np.isfinite(ref)
+    np.testing.assert_allclose(dr[fin], ref[fin], rtol=1e-5, atol=1e-6)
+    assert (dr[~fin] > 1e18).all()
+    # each returned row id is a real candidate at the returned distance
+    inv = np.full((T, 500), -1, np.int32)
+    for t in range(T):
+        inv[t, cand[t]] = np.arange(M)
+    pos = inv[np.arange(T)[:, None, None], rows]
+    assert (pos[fin] >= 0).all()
+    row_d = np.take_along_axis(np.where(ok, d2, np.inf), pos, -1) ** 0.5
+    np.testing.assert_allclose(row_d[fin], dr[fin], rtol=1e-5, atol=1e-6)
+
+
 def test_apply_cellwise_coords_kernel_matches_ids_kernel():
     """apply_cellwise's in-kernel coordinate extraction must hand fn
     exactly sorted_points[idx] - query for the SAME winners the

@@ -134,8 +134,12 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
     from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
 
     cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    # capacity cap scales with k: at k=100 the auto cell size packs ~2k
+    # points/cell in dense regions; a too-low cap leaves overfull-cell
+    # rows uncovered (exact=False, zero outputs)
     spec, mc = probe_grid_buckets(
-        build_grid(cloud.points, cloud.num_points, cell))
+        build_grid(cloud.points, cloud.num_points, cell),
+        capacity_cap=max(256, 4 * k))
     return fused_curvature(cloud.points, cloud.num_points, cell, k=k,
                            max_cells=mc, bucket_spec=spec, method=method,
                            implicit_mode=implicit_mode)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pct_tpu.core.cloud import PointCloud, from_numpy
-from pct_tpu.pipeline.curvature_pipeline import curvature_pipeline
+from pct_tpu.pipeline.fused import fast_curvature
 from pct_tpu.pipeline.neighbor_study import explicit_quadratic_neighbor_study
 
 log = logging.getLogger("pct_tpu.validate")
@@ -119,10 +119,12 @@ def validate_cloud(
                                     np.nan, time.time() - t0,
                                     aborted="neighbor study did not converge")
 
-    r = curvature_pipeline(cloud, k=k_neighbors)
+    # probe-tuned bucketed fused pipeline: the area weights only need the
+    # kth-neighbor distance, which FusedResult carries — no (N,k) outputs
+    r = fast_curvature(cloud, k=k_neighbors)
     K = np.asarray(r.curv.K)[:n]
     H = np.asarray(r.curv.H)[:n]
-    dists = r.neighbor_dists[:n]
+    r_k = np.asarray(r.kth_dist)[:n]
 
     nan_frac = float(np.isnan(K).mean())
     if nan_frac > nan_abort_fraction:
@@ -132,8 +134,10 @@ def validate_cloud(
                                 converged_k, np.nan, np.nan, np.nan, nan_frac,
                                 time.time() - t0, aborted="NaN census")
 
-    areas = np.asarray(point_area_weights(dists, k_neighbors))
-    keep = np.isfinite(K) & np.isfinite(H)
+    areas = np.pi * r_k * r_k / k_neighbors   # point_area_weights on r_k
+    # non-certified rows (kNN coverage not provable, e.g. a cell fuller
+    # than the capacity cap) carry zero outputs — exclude like NaNs
+    keep = np.isfinite(K) & np.isfinite(H) & np.asarray(r.exact)[:n]
     if outlier_filter:
         keep &= zscore_filter(K) & zscore_filter(H)
 

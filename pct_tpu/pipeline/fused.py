@@ -129,6 +129,14 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
     the compilation cache across clouds of a family), and executes the
     single-jit bucketed pipeline. Use ``curvature_pipeline`` instead
     when you also need neighbor indices/distances or fit coefficients.
+
+    Large neighborhoods (k ≳ 64): the √k cell sizing packs hundreds of
+    points per cell, the Pallas select kernel's VMEM guard falls back
+    to the XLA select path, and its HBM-materialized distance tensors
+    make the cell loop slower than the staged pipeline — so this wrapper
+    routes such clouds through the query-centric staged path and
+    assembles the same FusedResult (measured: the cell loop at 1M×k=100
+    is minutes; the staged path is seconds).
     """
     from pct_tpu.neighbors.cellknn import probe_grid_buckets
     from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
@@ -140,6 +148,18 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
     spec, mc = probe_grid_buckets(
         build_grid(cloud.points, cloud.num_points, cell),
         capacity_cap=max(256, 4 * k))
+    pallas_ok = all(sp.capacity * 9 * sp.run_cap * 4 * 3 <= 10 << 20
+                    for sp in spec)
+    if not pallas_ok:
+        from pct_tpu.neighbors.knn import knn_cloud_grid
+        from pct_tpu.pipeline.curvature_pipeline import pointwise_curvature
+
+        res, _ = knn_cloud_grid(cloud, k)
+        curv, normals, _ = pointwise_curvature(
+            cloud.points, res.indices, method=method,
+            implicit_mode=implicit_mode)
+        return FusedResult(curv=curv, normals=normals, exact=res.exact,
+                           kth_dist=res.dists[:, -1])
     return fused_curvature(cloud.points, cloud.num_points, cell, k=k,
                            max_cells=mc, bucket_spec=spec, method=method,
                            implicit_mode=implicit_mode)

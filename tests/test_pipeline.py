@@ -173,6 +173,23 @@ def test_fused_cellwise_implicit_method():
     np.testing.assert_allclose(np.median(K), 0.25, rtol=0.05)
 
 
+def test_fast_curvature_degenerate_inputs():
+    """Tiny cloud (n < k) and all-identical points must stay finite
+    (uncovered/unfound slots are inert; no NaNs leak)."""
+    from pct_tpu.pipeline.fused import fast_curvature
+
+    rng = np.random.default_rng(3)
+    tiny = rng.standard_normal((5, 3)).astype(np.float32)
+    r = fast_curvature(from_numpy(tiny), k=16)
+    assert np.isfinite(np.asarray(r.curv.K)[:5]).all()
+    assert np.isfinite(np.asarray(r.normals)[:5]).all()
+
+    same = np.zeros((64, 3), np.float32) + 1.5
+    r2 = fast_curvature(from_numpy(same), k=8)
+    assert np.isfinite(np.asarray(r2.curv.K)[:64]).all()
+    assert np.isfinite(np.asarray(r2.normals)[:64]).all()
+
+
 def test_pipeline_padding_invariance():
     pts, _ = generate_shape("sphere", 900, radius=1.0)
     c1 = from_numpy(pts, capacity=1024)

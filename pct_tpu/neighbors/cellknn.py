@@ -94,13 +94,24 @@ def _working_set_guards(capacity: int, tile_cells: int, run_cap: int,
     return tile_cells, select_impl
 
 
-def _runs_table(grid: GridIndex, cid: jax.Array):
+def _runs_table(grid: GridIndex, cells: CellTable,
+                cid: jax.Array | None = None):
     """Candidate-run table for all cells in ONE sort-based searchsorted
     (10x faster on TPU than per-tile binary searches: no gather chains).
 
-    cid: (MC,) linearized cell ids (PAD_ID rows get zero-length runs).
+    Searches the COMPACT cell table (~N/occupancy keys) rather than the
+    (N,) sorted-id array — the run boundary is always the start row of
+    the first table cell at/past the wanted id, so the sorted volume
+    drops ~8x. If the table overflowed (num_cells > MC) some runs can
+    shrink; the global overflow flag already voids exactness then.
+
+    cid: (MC,) linearized cell ids whose runs are wanted (defaults to
+    the table's own cells; PAD_ID rows get zero-length runs).
     Returns (rs (MC,9) int32 run starts, run_len (MC,9) int32 UNCLIPPED).
     """
+    n = grid.sorted_points.shape[0]
+    if cid is None:
+        cid = cells.cell_id
     dims = grid.dims
     ix_a, iy_a, iz_a = _decode(jnp.where(cid == PAD_ID, 0, cid))
     dyz = jnp.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
@@ -112,10 +123,19 @@ def _runs_table(grid: GridIndex, cid: jax.Array):
     base_a = ny_a * MAXDIM + nz_a * MAXDIM * MAXDIM            # (MC, 9)
     run_lo_a = base_a + jnp.maximum(ix_a - 1, 0)[:, None]
     run_hi_a = base_a + jnp.minimum(ix_a + 1, dims[0] - 1)[:, None]
-    rs_a = jnp.searchsorted(grid.sorted_ids, run_lo_a, side="left",
-                            method="sort").astype(jnp.int32)
-    re_a = jnp.searchsorted(grid.sorted_ids, run_hi_a + 1, side="left",
-                            method="sort").astype(jnp.int32)
+    # PAD table rows carry start=n (the PADDED capacity) — as a run
+    # BOUNDARY that would extend runs into the padding rows (zero
+    # coordinates!), so boundaries clamp to num_valid instead
+    nv = grid.num_valid
+    start_ext = jnp.concatenate(
+        [jnp.where(cells.cell_id == PAD_ID, nv, cells.start),
+         jnp.full((1,), 1, jnp.int32) * nv])
+    c_lo = jnp.searchsorted(cells.cell_id, run_lo_a, side="left",
+                            method="sort")
+    c_hi = jnp.searchsorted(cells.cell_id, run_hi_a + 1, side="left",
+                            method="sort")
+    rs_a = start_ext[c_lo]
+    re_a = start_ext[c_hi]
     run_len_a = jnp.where(ok_run_a, re_a - rs_a, 0)
     return rs_a, run_len_a
 
@@ -138,7 +158,7 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     cstart = jnp.pad(cells.start, (0, pad_tiles), constant_values=n)
     ccount = jnp.pad(cells.count, (0, pad_tiles))
 
-    rs_a, run_len_a = _runs_table(grid, cid)
+    rs_a, run_len_a = _runs_table(grid, cells, cid)
     overflow_a = jnp.any(run_len_a > run_cap, axis=1)          # (MC,)
     run_len_a = jnp.minimum(run_len_a, run_cap)
 
@@ -408,7 +428,7 @@ def _bucket_tables(grid: GridIndex, cells: CellTable,
     ``max_cells`` rows each.
     """
     n = grid.sorted_points.shape[0]
-    rs_a, run_len_a = _runs_table(grid, cells.cell_id)
+    rs_a, run_len_a = _runs_table(grid, cells)
     maxrun = jnp.max(run_len_a, axis=1)
     key = jnp.maximum(cells.count, (maxrun + 2) // 3)
     valid = cells.cell_id != PAD_ID
@@ -589,7 +609,7 @@ def probe_grid(grid: GridIndex, tile_cells: int = 128, capacity_cap: int = 256
 @jax.jit
 def _probe_maxrun(grid: GridIndex, cells: CellTable) -> jax.Array:
     """(MC,) per-cell max 3-cell x-run length over the 9 (dy,dz) offsets."""
-    _, run_len_a = _runs_table(grid, cells.cell_id)
+    _, run_len_a = _runs_table(grid, cells)
     return jnp.max(run_len_a, axis=1)
 
 

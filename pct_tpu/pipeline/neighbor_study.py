@@ -35,11 +35,17 @@ from pct_tpu.neighbors.knn import knn_cloud_grid
 
 @partial(jax.jit, static_argnames=("kmin", "kmax"))
 def _ladder_converged_k(points, sample_idx, nbr_idx, kmin: int, kmax: int,
-                        tol: float):
+                        tol: float, scale_sq=1.0, tol_rel: float = 0.0):
     """nbr_idx: (S, kmax+1) neighbor indices (ascending by distance).
 
     Returns (converged_k (S,) int32, converged mask (S,) bool): smallest
-    k in [kmin, kmax] with |K(k+1) - K(k)| < tol.
+    k in [kmin, kmax] with |K(k+1) - K(k)|·scale² < tol. ``scale_sq``
+    normalizes K to a unit-scale cloud (K has units 1/length²): the
+    reference's absolute tol=1e-7 presumes unit-scale shapes and never
+    converges on e.g. the 0.1-scale bunny (K ~ 10²-10⁵), aborting every
+    scan — the scale factor reproduces reference behavior exactly on
+    unit shapes and gives scale-invariant behavior elsewhere
+    (documented divergence).
     """
     q = points[sample_idx]
     nbrs = points[nbr_idx] - q[:, None, :]          # (S, kmax+1, 3)
@@ -52,9 +58,11 @@ def _ladder_converged_k(points, sample_idx, nbr_idx, kmin: int, kmax: int,
         coeffs = fit_quadratic(rotated, jnp.broadcast_to(m, nbrs.shape[:2]))
         return explicit_curvatures(coeffs).K          # (S,)
 
-    K_ladder = jax.lax.map(curv_at_k, ks)             # (R, S)
+    K_ladder = jax.lax.map(curv_at_k, ks) * scale_sq  # (R, S) unit-scale
     diff = jnp.abs(K_ladder[1:] - K_ladder[:-1])      # rung k vs k+1
-    conv = diff < tol                                 # (R-1, S)
+    # absolute criterion (reference) plus an optional RELATIVE term for
+    # real scans, whose K is large and noisy at any absolute tolerance
+    conv = diff < tol + tol_rel * jnp.abs(K_ladder[:-1])   # (R-1, S)
     first = jnp.argmax(conv, axis=0)                  # first True, else 0
     any_conv = jnp.any(conv, axis=0)
     return (kmin + first).astype(jnp.int32), any_conv
@@ -67,6 +75,7 @@ def explicit_quadratic_neighbor_study(
     kmin: int = 3,
     kmax: int = 99,
     seed: int = 0,
+    tol_rel: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (recommended_k scalar int32, per-sample converged k).
 
@@ -89,8 +98,17 @@ def explicit_quadratic_neighbor_study(
     res = knn_grid(grid, cloud.points[sample_idx], kmax + 1,
                    query_indices=sample_idx,
                    capacity=int(2.5 * kmax) + 16, tile=min(512, sample_size))
+    # characteristic scale (max distance from centroid over valid points,
+    # ref utils.py:767-775) — normalizes the convergence tolerance
+    valid = jnp.arange(cloud.points.shape[0]) < n
+    vm = valid[:, None].astype(jnp.float32)
+    centroid = jnp.sum(cloud.points * vm, axis=0) / jnp.maximum(
+        jnp.sum(vm), 1.0)
+    d2 = jnp.sum((cloud.points - centroid) ** 2, axis=-1)
+    scale_sq = jnp.maximum(jnp.max(jnp.where(valid, d2, 0.0)), 1e-20)
     conv_k, conv_mask = _ladder_converged_k(
-        cloud.points, sample_idx, res.indices, kmin, kmax, tol
+        cloud.points, sample_idx, res.indices, kmin, kmax, tol,
+        scale_sq=scale_sq, tol_rel=tol_rel,
     )
     denom = jnp.maximum(jnp.sum(conv_mask), 1)
     mean_k = jnp.sum(jnp.where(conv_mask, conv_k, 0)) / denom

@@ -93,6 +93,7 @@ def validate_cloud(
     nan_abort_fraction: float = 0.8,
     outlier_filter: bool = False,
     output_dir: Optional[str] = None,
+    study_tol_rel: float = 0.0,
 ) -> ValidationResult:
     """Mesh-free validate_shape (ref utils.py:476 driver sequence):
 
@@ -109,7 +110,8 @@ def validate_cloud(
 
     converged_k = -1
     if auto_k:
-        k_rec, _ = explicit_quadratic_neighbor_study(cloud)
+        k_rec, _ = explicit_quadratic_neighbor_study(
+            cloud, tol_rel=study_tol_rel)
         converged_k = int(k_rec)
         if converged_k < min_converged_k:
             log.warning("converged k %d < %d — aborting (ref utils.py:490)",

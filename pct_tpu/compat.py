@@ -58,11 +58,17 @@ class PointCloud:
         self.normals = (np.zeros((0, 3), np.float32) if normals is None
                         else np.asarray(normals))
         self.num_points = points.shape[0]
-        # whole-cloud norms (ref :43-47)
-        flat = points.ravel().astype(np.float64)
-        self.l1_norm = float(np.abs(flat).sum())
-        self.l2_norm = float(np.sqrt((flat**2).sum()))
-        self.linf_norm = float(np.abs(flat).max()) if flat.size else 0.0
+        # whole-cloud norms (ref :43-47). The reference calls
+        # np.linalg.norm on the (N,3) MATRIX, so these are matrix norms:
+        # l1 = max column abs-sum, l2 = spectral (largest singular
+        # value), linf = max row abs-sum.
+        p64 = points.astype(np.float64)
+        if p64.size:
+            self.l1_norm = float(np.linalg.norm(p64, 1))
+            self.l2_norm = float(np.linalg.norm(p64, 2))
+            self.linf_norm = float(np.linalg.norm(p64, np.inf))
+        else:
+            self.l1_norm = self.l2_norm = self.linf_norm = 0.0
         self._neighbors = None
         self.dists = None
         self.neighbor_indices = None

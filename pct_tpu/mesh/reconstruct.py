@@ -21,24 +21,36 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
 _SRC = os.path.join(_NATIVE_DIR, "bpa.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libbpa.so")
 
 _lib = None
 
 
-def _build_lib():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+def _lib_path() -> str:
+    """Binary path keyed on a content hash of the source, so a stale or
+    wrong-platform .so is never silently loaded (checkout mtimes are
+    arbitrary) and no binary blob needs committing."""
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_NATIVE_DIR, f"libbpa-{digest}.so")
+
+
+def _build_lib(lib_path: str):
+    tmp = lib_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, lib_path)  # atomic: concurrent builders race safely
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        _build_lib()
-    lib = ctypes.CDLL(_LIB)
+    lib_path = _lib_path()
+    if not os.path.exists(lib_path):
+        _build_lib(lib_path)
+    lib = ctypes.CDLL(lib_path)
     lib.bpa_reconstruct.restype = ctypes.c_int
     lib.bpa_reconstruct.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),

@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <queue>
 #include <unordered_map>
 #include <vector>
@@ -304,6 +305,7 @@ int bpa_reconstruct(const float* points, const float* normals, int n,
   BPA bpa(pts, nrm);
   for (int i = 0; i < n_radii; ++i) bpa.run(radii[i]);
   int t = (int)(bpa.tris.size() / 3);
+  if (t == 0) { *out = nullptr; return 0; }
   *out = (int32_t*)std::malloc(sizeof(int32_t) * bpa.tris.size());
   std::memcpy(*out, bpa.tris.data(), sizeof(int32_t) * bpa.tris.size());
   return t;

@@ -54,17 +54,21 @@ def view_meshes(mesh_dir: str, pattern: str = "*.ply", show: bool = True):
         import matplotlib.pyplot as plt
 
         from pct_tpu.io.ply import read_ply
+        from pct_tpu.io.vtk import read_vtk
 
         for p in paths:
-            d = read_ply(p)
+            if p.lower().endswith(".vtk"):
+                pts, faces, _ = read_vtk(p)
+            else:
+                d = read_ply(p)
+                pts, faces = d.points, d.faces
             fig = plt.figure(figsize=(7, 6))
             ax = fig.add_subplot(111, projection="3d")
-            if d.faces is not None and len(d.faces):
-                ax.plot_trisurf(d.points[:, 0], d.points[:, 1],
-                                d.points[:, 2], triangles=d.faces,
-                                linewidth=0.1)
+            if faces is not None and len(faces):
+                ax.plot_trisurf(pts[:, 0], pts[:, 1], pts[:, 2],
+                                triangles=faces, linewidth=0.1)
             else:
-                ax.scatter(*d.points[::max(1, len(d.points) // 20000)].T, s=1)
+                ax.scatter(*pts[::max(1, len(pts) // 20000)].T, s=1)
             fig.savefig(p + ".png", dpi=120)
             plt.close(fig)
         return paths

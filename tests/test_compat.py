@@ -15,8 +15,16 @@ def sphere_pc():
 
 
 def test_ctor_norms(sphere_pc):
+    """Reference computes np.linalg.norm on the (N,3) MATRIX (ref :43-47):
+    l1 = max column abs-sum, l2 = spectral norm, linf = max row abs-sum."""
     assert sphere_pc.num_points == 2000
-    assert np.isclose(sphere_pc.l2_norm, np.sqrt(2000), rtol=1e-4)
+    p = sphere_pc.points.astype(np.float64)
+    assert np.isclose(sphere_pc.l1_norm, np.linalg.norm(p, 1), rtol=1e-6)
+    assert np.isclose(sphere_pc.l2_norm, np.linalg.norm(p, 2), rtol=1e-6)
+    assert np.isclose(sphere_pc.linf_norm, np.linalg.norm(p, np.inf),
+                      rtol=1e-6)
+    # sanity: a unit sphere's spectral norm ≈ sqrt(N/3), NOT sqrt(N)
+    assert np.isclose(sphere_pc.l2_norm, np.sqrt(2000 / 3), rtol=0.05)
 
 
 def test_plant_kdtree_and_explicit_chain(sphere_pc):

@@ -148,7 +148,7 @@ def test_band_kernel_interpret_matches_xla():
     alignment; semantics locked in by this interpret-mode test)."""
     import jax.numpy as jnp
 
-    from pct_tpu.neighbors.cellknn import build_row_blocks, knn_cellwise_band
+    from pct_tpu.experimental.band_knn import build_row_blocks, knn_cellwise_band
     from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
 
     pts, _ = generate_shape("torus", 2500, radius=1.0)

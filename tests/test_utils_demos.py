@@ -57,6 +57,32 @@ def test_rotate_point_cloud_preserves_shape():
     assert not np.allclose(a, b)
 
 
+def test_rotate_point_cloud_compat_matches_reference_semantics():
+    """compat_z_from_y reproduces the reference's exact output: row-vector
+    chain centered.dot(Rx).dot(Ry).dot(Rz) with Rz built from the Y angle
+    (ref pointCloudToolbox.py:149-156); the swap/lexsort prologue is dead
+    code there and must not run."""
+    rng = np.random.default_rng(7)
+    pts = rng.standard_normal((64, 3)).astype(np.float32)
+    ax, ay, az = 0.31, -0.55, 1.2
+
+    def rot(a, axis):
+        c, s = np.cos(a), np.sin(a)
+        m = {
+            "x": [[1, 0, 0], [0, c, -s], [0, s, c]],
+            "y": [[c, 0, s], [0, 1, 0], [-s, 0, c]],
+            "z": [[c, -s, 0], [s, c, 0], [0, 0, 1]],
+        }[axis]
+        return np.array(m, dtype=np.float64)
+
+    center = pts.astype(np.float64).mean(0)
+    centered = pts.astype(np.float64) - center
+    expect = (centered @ rot(ax, "x") @ rot(ay, "y") @ rot(ay, "z")
+              + center).astype(np.float32)
+    got = rotate_point_cloud(pts, ax, ay, az, compat_z_from_y=True)
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
 def test_explicit_demo_signs():
     from pct_tpu.demos.explicit_surfaces_demo import run
 

@@ -1,0 +1,225 @@
+"""Curvature from neighborhood MOMENTS — the large-k fit path.
+
+The reference's chain (ref pointCloudToolbox.py:635-668) needs, per
+query, only ORDER-INVARIANT functionals of the neighborhood plus two
+specific points (the nearest and the kth for the sign fix, ref
+:286-297):
+
+- the 3×3 covariance (ref :277)               — degree ≤ 2 moments
+- the quadratic fit's 6×6 normal equations    — degree ≤ 4 moments of
+  (ref :350-360, rotated frame)                 the ROTATED coords
+
+and rotated moments are linear images of raw moments: with s = R·r,
+Σ w·s^β = Σ_α c_{αβ}(R) · Σ w·r^α. So the k-selection that dominates
+large-k kNN (O(k·M) min/argmin rounds per query) can be replaced by
+O(M) weighted monomial accumulations — the kernel finds the exact kth
+distance by bisection on float bits (count passes, not selection) and
+accumulates 35 monomial sums; this module turns those sums into the
+same frames → fit → curvature chain.
+
+Divergences from the list-based path (documented):
+- distance TIES at the kth boundary get fractional weight
+  (k - count_lt)/count_eq instead of first-in-candidate-order
+  membership — order-invariant by construction; real scans have no
+  exact ties, lattice shapes differ at tie boundaries by O(1/k) in the
+  fit input.
+- the anisotropic preconditioning of fit_quadratic uses the tangent
+  RMS extent instead of the max extent (max is not a moment);
+  preconditioning changes rounding, not the LS optimum.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pct_tpu.curvature.explicit import Curvatures, explicit_curvatures
+from pct_tpu.fit.eigh3 import smallest_eigvec3
+from pct_tpu.fit.quadratic import _RIDGE, cholesky_solve6
+
+# Moment layout: all exponent triples (a, b, c) with a+b+c <= 4,
+# graded-lexicographic; index 0 is (0,0,0) = Σw (the weighted count).
+MOMENT_EXPS: tuple = tuple(
+    (a, b, c)
+    for d in range(5)
+    for a in range(d, -1, -1)
+    for b in range(d - a, -1, -1)
+    for c in (d - a - b,)
+)
+NUM_MOMENTS = len(MOMENT_EXPS)          # 35
+_IDX = {e: i for i, e in enumerate(MOMENT_EXPS)}
+
+
+def moment_index(a: int, b: int, c: int) -> int:
+    return _IDX[(a, b, c)]
+
+
+def neighborhood_moments(centered: jax.Array, weights: jax.Array,
+                         sigma: jax.Array) -> jax.Array:
+    """Reference/XLA moment accumulator (the Pallas kernel's oracle).
+
+    centered: (..., k, 3) neighborhoods r_i = p_i - q
+    weights:  (..., k) per-neighbor weights (1 for members, fractional
+              at kth-distance ties, 0 otherwise)
+    sigma:    (...,) per-query scale (the kth distance); moments are of
+              r̂ = r/σ so every entry is O(1) in float32.
+    Returns (..., NUM_MOMENTS).
+    """
+    s = jnp.maximum(sigma, 1e-30)[..., None]
+    # clamp: members satisfy |r|/σ <= 1 by construction; non-members
+    # (w = 0) may be arbitrarily far — bound them so w·x̂^4 can't be 0·inf
+    xh = jnp.clip(centered[..., 0] / s, -2.0, 2.0)
+    yh = jnp.clip(centered[..., 1] / s, -2.0, 2.0)
+    zh = jnp.clip(centered[..., 2] / s, -2.0, 2.0)
+    out = []
+    for (a, b, c) in MOMENT_EXPS:
+        mono = weights
+        for _ in range(a):
+            mono = mono * xh
+        for _ in range(b):
+            mono = mono * yh
+        for _ in range(c):
+            mono = mono * zh
+        out.append(jnp.sum(mono, axis=-1))
+    return jnp.stack(out, axis=-1)
+
+
+# ---- symbolic rotation of moments -----------------------------------------
+# A "poly" is a dict {(a,b,c): coeff-array} over the raw coords r̂.
+
+
+def _pmul(p, q):
+    out = {}
+    for ea, ca in p.items():
+        for eb, cb in q.items():
+            e = (ea[0] + eb[0], ea[1] + eb[1], ea[2] + eb[2])
+            prod = ca * cb
+            out[e] = out[e] + prod if e in out else prod
+    return out
+
+
+def _peval(p, m):
+    """Σ coeff · moment — evaluate a poly against the moment vector."""
+    acc = None
+    for e, c in p.items():
+        term = c * m[..., _IDX[e]]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def rotated_moments(m: jax.Array, R: jax.Array) -> dict:
+    """s-moments Σ w·(R r̂)^β needed by the quadratic fit.
+
+    m: (..., NUM_MOMENTS) raw moments; R: (..., 3, 3) with s = R r̂.
+    Returns {(a, b, c): (...)-array} for all (a,b,0) a+b<=4 and
+    (a,b,1) a+b<=2 — the 21 moments the 6×6 normal equations need.
+    """
+    sx = {(1, 0, 0): R[..., 0, 0], (0, 1, 0): R[..., 0, 1],
+          (0, 0, 1): R[..., 0, 2]}
+    sy = {(1, 0, 0): R[..., 1, 0], (0, 1, 0): R[..., 1, 1],
+          (0, 0, 1): R[..., 1, 2]}
+    sz = {(1, 0, 0): R[..., 2, 0], (0, 1, 0): R[..., 2, 1],
+          (0, 0, 1): R[..., 2, 2]}
+    one = {(0, 0, 0): jnp.ones_like(R[..., 0, 0])}
+    # powers sx^a · sy^b by dynamic programming
+    pows = {(0, 0): one}
+    for a in range(1, 5):
+        pows[(a, 0)] = _pmul(pows[(a - 1, 0)], sx)
+    for a in range(0, 5):
+        for b in range(1, 5 - a):
+            pows[(a, b)] = _pmul(pows[(a, b - 1)], sy)
+    S = {}
+    for (a, b), p in pows.items():
+        S[(a, b, 0)] = _peval(p, m)
+        if a + b <= 2:
+            S[(a, b, 1)] = _peval(_pmul(p, sz), m)
+    return S
+
+
+# ---- the full chain ---------------------------------------------------------
+
+_PHI = ((2, 0), (0, 2), (1, 1), (1, 0), (0, 1), (0, 0))  # [a²,b²,ab,a,b,1]
+
+
+def fit_quadratic_from_moments(S: dict, cnt: jax.Array,
+                               sigma: jax.Array) -> jax.Array:
+    """6 Monge coefficients (true, unscaled units) from s-moments of the
+    σ-scaled rotated neighborhood. Mirrors fit_quadratic's normal
+    equations + relative ridge + unrolled Cholesky, with RMS anisotropic
+    preconditioning (see module docstring)."""
+    cnt = jnp.maximum(cnt, 1.0)
+    sa = jnp.sqrt(jnp.maximum(S[(2, 0, 0)] / cnt, 1e-20))
+    sb = jnp.sqrt(jnp.maximum(S[(0, 2, 0)] / cnt, 1e-20))
+    inv_a, inv_b = 1.0 / sa, 1.0 / sb
+
+    def scaled(a, b, c):
+        return S[(a, b, c)] * inv_a**a * inv_b**b
+
+    Gq = [[None] * 6 for _ in range(6)]
+    rhs = [None] * 6
+    for i, (ai, bi) in enumerate(_PHI):
+        for j, (aj, bj) in enumerate(_PHI[i:], start=i):
+            Gq[i][j] = Gq[j][i] = scaled(ai + aj, bi + bj, 0)
+        rhs[i] = scaled(ai, bi, 1)
+    G = jnp.stack([jnp.stack(Gq[i], axis=-1) for i in range(6)], axis=-2)
+    rhs = jnp.stack(rhs, axis=-1)
+    trace = jnp.trace(G, axis1=-2, axis2=-1)
+    G = G + (_RIDGE * trace[..., None, None] / 6.0) * jnp.eye(6, dtype=G.dtype)
+    c = cholesky_solve6(G, rhs)
+    # undo the anisotropic scale, then the σ scale (s = σ·ŝ):
+    # A = Â/(sa²σ), B = B̂/(sb²σ), C = Ĉ/(sa·sb·σ), D = D̂/sa, E = Ê/sb,
+    # F = F̂·σ
+    s = jnp.maximum(sigma, 1e-30)
+    scale_back = jnp.stack([
+        inv_a * inv_a / s, inv_b * inv_b / s, inv_a * inv_b / s,
+        inv_a, inv_b, s,
+    ], axis=-1)
+    return c * scale_back
+
+
+def covariance_from_moments(m: jax.Array) -> jax.Array:
+    """(..., 3, 3) neighborhood covariance (mean-centered, /(cnt-1)) from
+    degree ≤ 2 raw moments — matches neighborhood_covariance (the σ²
+    scale is dropped: eigenvectors are scale-invariant)."""
+    cnt = jnp.maximum(m[..., _IDX[(0, 0, 0)]], 1.0)
+    mu = jnp.stack([m[..., _IDX[(1, 0, 0)]], m[..., _IDX[(0, 1, 0)]],
+                    m[..., _IDX[(0, 0, 1)]]], axis=-1) / cnt[..., None]
+    f = 1.0 / jnp.maximum(cnt - 1.0, 1.0)
+
+    def cov(e, i, j):
+        return (m[..., _IDX[e]] - cnt * mu[..., i] * mu[..., j]) * f
+
+    sxx = cov((2, 0, 0), 0, 0)
+    syy = cov((0, 2, 0), 1, 1)
+    szz = cov((0, 0, 2), 2, 2)
+    sxy = cov((1, 1, 0), 0, 1)
+    sxz = cov((1, 0, 1), 0, 2)
+    syz = cov((0, 1, 1), 1, 2)
+    return jnp.stack([
+        jnp.stack([sxx, sxy, sxz], -1),
+        jnp.stack([sxy, syy, syz], -1),
+        jnp.stack([sxz, syz, szz], -1),
+    ], axis=-2)
+
+
+def curvature_from_moments(m: jax.Array, sigma: jax.Array,
+                           nearest: jax.Array, kth_pt: jax.Array):
+    """Moments → (Curvatures, normals): the same chain as
+    tangent_frames + fit_quadratic + explicit_curvatures.
+
+    nearest/kth_pt: (..., 3) the first and kth neighbor offsets p - q
+    (unscaled), for the reference's sign fix pts[-1] - pts[0]
+    (ref pointCloudToolbox.py:286-297).
+    """
+    from pct_tpu.fit.frames import rodrigues_to_z
+
+    cov = covariance_from_moments(m)
+    _, n = smallest_eigvec3(cov)
+    ref_vec = kth_pt - nearest
+    flip = jnp.sum(n * ref_vec, axis=-1) < 0.0
+    n = jnp.where(flip[..., None], -n, n)
+    R = rodrigues_to_z(n)
+    S = rotated_moments(m, R)
+    cnt = m[..., _IDX[(0, 0, 0)]]
+    coeffs = fit_quadratic_from_moments(S, cnt, sigma)
+    return explicit_curvatures(coeffs), n

@@ -78,13 +78,17 @@ def default_select_impl() -> str:
 
 
 def _working_set_guards(capacity: int, tile_cells: int, run_cap: int,
-                        select_impl: str):
+                        select_impl: str, demote_pallas: bool = True):
     """VMEM/HBM working-set guards (large k => capacity up to 256,
-    M ~ 7k). Returns (tile_cells, select_impl), possibly reduced."""
+    M ~ 7k). Returns (tile_cells, select_impl), possibly reduced.
+    ``demote_pallas=False`` skips the pallas->xla fallback (the moment
+    kernel manages its own VMEM via an int32 scratch + chunked passes).
+    """
     m_width = 9 * run_cap
     # pallas select keeps (block_cells, capacity, M) in VMEM; fall back to
     # the XLA path when even one cell's rows exceed the VMEM budget
-    if select_impl == "pallas" and capacity * m_width * 4 * 3 > 10 << 20:
+    if (demote_pallas and select_impl == "pallas"
+            and capacity * m_width * 4 * 3 > 10 << 20):
         select_impl = "xla"
     # XLA path materializes (tile, capacity, M) distance tensors in HBM;
     # shrink the tile so that stays <= ~256 MB
@@ -141,7 +145,8 @@ def _runs_table(grid: GridIndex, cells: CellTable,
 
 
 def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
-                    tile_cells: int, run_cap: int, select_impl: str):
+                    tile_cells: int, run_cap: int, select_impl: str,
+                    demote_pallas: bool = True):
     """Shared prologue for the single-bucket cell loop: working-set
     guards + runs table + tile padding.
 
@@ -151,7 +156,7 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     n = grid.sorted_points.shape[0]
     mc = cells.cell_id.shape[0]
     tile_cells, select_impl = _working_set_guards(
-        capacity, tile_cells, run_cap, select_impl)
+        capacity, tile_cells, run_cap, select_impl, demote_pallas)
     pad_tiles = (-mc) % tile_cells
 
     cid = jnp.pad(cells.cell_id, (0, pad_tiles), constant_values=PAD_ID)
@@ -168,6 +173,44 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
                  run_len_a.reshape(-1, tile_cells, 9),
                  overflow_a.reshape(-1, tile_cells))
     return tile_args, tile_cells, select_impl
+
+
+def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int):
+    """Candidate fetch + coverage radius for one tile of the cell loop.
+
+    Returns (cand (T,M) sorted rows, ok_cand (T,M), cpts (T,M,3),
+    qpts (T,C,3), qrow (T,C), ok_q (T,C), cover (T,C) guaranteed
+    coverage radius, run_overflow (T,), coords (T,3) cell coords).
+    """
+    n = grid.sorted_points.shape[0]
+    dims = grid.dims
+    inf = jnp.float32(jnp.inf)
+    cell_id, start, count, rs, run_len, run_overflow = args   # (T, ...)
+    T = cell_id.shape[0]
+    ix, iy, iz = _decode(jnp.where(cell_id == PAD_ID, 0, cell_id))
+    # --- candidate rows: (T, 9, run_cap) sorted positions ---
+    slot = jnp.arange(run_cap, dtype=jnp.int32)
+    cand = jnp.minimum(rs[..., None] + slot, n - 1)
+    ok_cand = slot[None, None, :] < run_len[..., None]
+    cand = cand.reshape(T, 9 * run_cap)
+    ok_cand = ok_cand.reshape(T, 9 * run_cap)
+    cpts = grid.sorted_points[cand]                          # (T, M, 3)
+    qrow = jnp.minimum(start[:, None] + jnp.arange(capacity,
+                                                   dtype=jnp.int32), n - 1)
+    ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
+    qpts = grid.sorted_points[qrow]                          # (T, C, 3)
+    # --- per-query coverage radius within the 3³ window ---
+    coords = jnp.stack([ix, iy, iz], axis=-1)                # (T, 3)
+    lo_edge = grid.origin[None, :] + (coords - 1).astype(jnp.float32) \
+        * grid.cell_size
+    hi_edge = grid.origin[None, :] + (coords + 2).astype(jnp.float32) \
+        * grid.cell_size
+    left = jnp.where((coords - 1 <= 0)[:, None, :], inf,
+                     qpts - lo_edge[:, None, :])
+    right = jnp.where((coords + 1 >= dims - 1)[:, None, :], inf,
+                      hi_edge[:, None, :] - qpts)
+    cover = jnp.minimum(jnp.min(left, axis=-1), jnp.min(right, axis=-1))
+    return cand, ok_cand, cpts, qpts, qrow, ok_q, cover, run_overflow, coords
 
 
 def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
@@ -189,23 +232,10 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
     path gathers tile-locally. Both paths pick identical winners
     (first-argmin tie order) under identical distance math.
     """
-    n = grid.sorted_points.shape[0]
-    dims = grid.dims
     inf = jnp.float32(jnp.inf)
-    cell_id, start, count, rs, run_len, run_overflow = args   # (T, ...)
-    T = cell_id.shape[0]
-    ix, iy, iz = _decode(jnp.where(cell_id == PAD_ID, 0, cell_id))
-    # --- candidate rows: (T, 9, run_cap) sorted positions ---
-    slot = jnp.arange(run_cap, dtype=jnp.int32)
-    cand = jnp.minimum(rs[..., None] + slot, n - 1)
-    ok_cand = slot[None, None, :] < run_len[..., None]
-    cand = cand.reshape(T, 9 * run_cap)
-    ok_cand = ok_cand.reshape(T, 9 * run_cap)
-    cpts = grid.sorted_points[cand]                          # (T, M, 3)
-    qrow = jnp.minimum(start[:, None] + jnp.arange(capacity,
-                                                   dtype=jnp.int32), n - 1)
-    ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
-    qpts = grid.sorted_points[qrow]                          # (T, C, 3)
+    cand, ok_cand, cpts, qpts, qrow, ok_q, cover, run_overflow, coords = \
+        _tile_candidates(grid, args, capacity, run_cap)
+    T = cand.shape[0]
     pos = None
     win = None
     if select_impl == "pallas" or select_impl == "pallas_interpret":
@@ -229,8 +259,8 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
         found = dists < 1e18     # kernel backs missing slots with ~3e38
     else:
         # --- XLA path: MXU distance expansion in cell-local coords ---
-        corner = grid.origin[None, :] + grid.cell_size * jnp.stack(
-            [ix, iy, iz], axis=-1).astype(jnp.float32)       # (T, 3)
+        corner = grid.origin[None, :] + grid.cell_size \
+            * coords.astype(jnp.float32)                     # (T, 3)
         cpts_l = cpts - corner[:, None, :]
         qpts_l = qpts - corner[:, None, :]
         q2 = jnp.sum(qpts_l * qpts_l, axis=-1)               # (T, C)
@@ -247,18 +277,7 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
         neg, pos = jax.lax.top_k(-d2, k)                     # (T, C, k)
         dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
         found = jnp.isfinite(neg)
-    # --- exactness: per-query coverage radius within the 3³ window ---
-    # (qpts already in world coordinates)
-    coords = jnp.stack([ix, iy, iz], axis=-1)                # (T, 3)
-    lo_edge = grid.origin[None, :] + (coords - 1).astype(jnp.float32) \
-        * grid.cell_size
-    hi_edge = grid.origin[None, :] + (coords + 2).astype(jnp.float32) \
-        * grid.cell_size
-    left = jnp.where((coords - 1 <= 0)[:, None, :], inf,
-                     qpts - lo_edge[:, None, :])
-    right = jnp.where((coords + 1 >= dims - 1)[:, None, :], inf,
-                      hi_edge[:, None, :] - qpts)
-    cover = jnp.minimum(jnp.min(left, axis=-1), jnp.min(right, axis=-1))
+    # --- exactness: kth distance inside the certified coverage radius ---
     exact = (found[..., k - 1] & (dists[..., k - 1] <= cover)
              & (~run_overflow[:, None]))
     if win is None and want != "pos":
@@ -341,6 +360,66 @@ def knn_cellwise(
     return NeighborResult(out_idx, out_d, out_f, out_e)
 
 
+def moments_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
+                        select_impl: str, fn=None):
+    """Large-k tile body: moment accumulation instead of top-k selection.
+
+    Same (one_tile) contract as ``cellwise_tile_runner`` but the
+    neighborhoods are never materialized — the Pallas moment kernel
+    (ops/pallas_moments.py) reduces each query's k nearest to 35
+    monomial sums, and ``fit.moments.curvature_from_moments`` rebuilds
+    the frames → fit → curvature chain from them. ``fn`` is ignored
+    (the curvature chain is fixed — only the explicit method exists in
+    moment form); O(32·M) count passes replace O(k·M) argmin rounds.
+    """
+    del fn
+    from pct_tpu.fit.moments import curvature_from_moments
+    from pct_tpu.ops.pallas_moments import knn_moments, knn_moments_xla
+
+    def one_tile(args):
+        cand, ok_cand, cpts, qpts, qrow, ok_q, cover, run_overflow, _ = \
+            _tile_candidates(grid, args, capacity, run_cap)
+        ok_i = ok_cand.astype(jnp.int32)
+        if select_impl in ("pallas", "pallas_interpret"):
+            out = knn_moments(qpts, cpts, cand, qrow, ok_i, k,
+                              interpret=select_impl == "pallas_interpret")
+            moments = out[..., :35]
+            sigma = out[..., 38]
+            nearest = out[..., 39:42]
+            kth_pt = out[..., 42:45]
+            found = out[..., 45] > 0.0
+        else:
+            d = knn_moments_xla(qpts, cpts, cand, qrow, ok_i, k)
+            moments, sigma = d["moments"], d["sigma"]
+            nearest, kth_pt, found = d["nearest"], d["kth"], d["found"]
+        curv, normal = curvature_from_moments(moments, sigma, nearest,
+                                              kth_pt)
+        exact = found & (sigma <= cover) & (~run_overflow[:, None]) & ok_q
+        return (curv, normal), exact, sigma, qrow, ok_q
+
+    return one_tile
+
+
+def cellwise_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
+                         select_impl: str, fn):
+    """One-tile body of the fused cell loop, shared by ``apply_cellwise``
+    and the distributed layer (which shards the tile axis over a device
+    mesh — identical per-tile compute is what makes the sharded and
+    single-chip results bit-identical).
+
+    Returns ``one_tile(args) -> (fn outputs (tc,C,...), exact (tc,C),
+    kth (tc,C), qrow (tc,C), ok_q (tc,C))``.
+    """
+    def one_tile(args):
+        nbrs, dists, found, _, _, qpts, qrow, ok_q, exact = _tile_select(
+            grid, args, k, capacity, run_cap, select_impl, want="coords")
+        centered = nbrs - qpts[:, :, None, :]
+        out = fn(centered, found)
+        return out, exact & ok_q, dists[..., k - 1], qrow, ok_q
+
+    return one_tile
+
+
 def apply_cellwise(
     grid: GridIndex,
     cells: CellTable,
@@ -351,6 +430,7 @@ def apply_cellwise(
     run_cap: int | None = None,
     select_impl: str | None = None,
     dest_order: str = "original",
+    runner=None,
 ):
     """Run ``fn`` over every point's kNN neighborhood INSIDE the cell loop.
 
@@ -367,21 +447,18 @@ def apply_cellwise(
     NOT jitted itself — call under jit (``fn`` closures hash poorly as
     static args, so jitting is left to the caller).
     """
+    if runner is None:
+        runner = cellwise_tile_runner
     if select_impl is None:
         select_impl = default_select_impl()
     n = grid.sorted_points.shape[0]
     if run_cap is None:
         run_cap = 3 * capacity
     tile_args, tile_cells, select_impl = _cellwise_setup(
-        grid, cells, capacity, tile_cells, run_cap, select_impl)
+        grid, cells, capacity, tile_cells, run_cap, select_impl,
+        demote_pallas=runner is cellwise_tile_runner)
 
-    def one_tile(args):
-        nbrs, dists, found, _, _, qpts, qrow, ok_q, exact = _tile_select(
-            grid, args, k, capacity, run_cap, select_impl, want="coords")
-        centered = nbrs - qpts[:, :, None, :]
-        out = fn(centered, found)
-        return out, exact & ok_q, dists[..., k - 1], qrow, ok_q
-
+    one_tile = runner(grid, k, capacity, run_cap, select_impl, fn)
     out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, tile_args)
 
     flat = lambda a: a.reshape((-1,) + a.shape[3:])
@@ -454,35 +531,24 @@ def _bucket_tables(grid: GridIndex, cells: CellTable,
     return tables
 
 
-def apply_cellwise_bucketed(
-    grid: GridIndex,
-    cells: CellTable,
-    k: int,
-    fn,
-    spec: tuple[BucketSpec, ...],
-    tile_cells: int = 128,
-    select_impl: str | None = None,
-    dest_order: str = "original",
-):
-    """``apply_cellwise`` over occupancy-bucketed cells: each bucket runs
-    the cell loop with its own (capacity, run_cap) statics, so padding
-    waste in the candidate gather, the select kernel, and the in-loop
-    ``fn`` tracks each cell's actual size instead of the global maximum.
-    Semantics identical to apply_cellwise (``probe_grid_buckets``
-    guarantees the spec covers every cell; anything beyond the last
-    bucket's statics degrades to exact=False, never to wrong results).
+def bucketed_tile_args(grid: GridIndex, cells: CellTable,
+                       spec: tuple[BucketSpec, ...], tile_cells: int,
+                       select_impl: str, pad_tiles_to: int = 1,
+                       demote_pallas: bool = True):
+    """Per-bucket tile arguments for the bucketed cell loop.
 
-    Returns (outputs pytree of (n, ...), exact (n,), kth_dist (n,)).
-    NOT jitted itself — call under jit.
+    Returns a list of (BucketSpec, tile_args, select_impl) — one entry
+    per bucket, tile_args shaped (num_tiles, tc, ...). ``pad_tiles_to``
+    rounds each bucket's tile count up to a multiple (the device count
+    for the sharded layer; pad tiles are empty cells and drop at the
+    final scatter).
     """
-    if select_impl is None:
-        select_impl = default_select_impl()
     n = grid.sorted_points.shape[0]
     tables = _bucket_tables(grid, cells, spec)
-    outs, exacts, kths, dests = [], [], [], []
+    out = []
     for sp, (cid_b, start_b, count_b, rs_b, rl_b, lost) in zip(spec, tables):
         tc_b, impl_b = _working_set_guards(
-            sp.capacity, tile_cells, sp.run_cap, select_impl)
+            sp.capacity, tile_cells, sp.run_cap, select_impl, demote_pallas)
         overflow_b = jnp.any(rl_b > sp.run_cap, axis=1) | lost
         rl_b = jnp.minimum(rl_b, sp.run_cap)
         pad = (-sp.max_cells) % tc_b
@@ -495,15 +561,51 @@ def apply_cellwise_bucketed(
             jnp.pad(rl_b, ((0, pad), (0, 0))).reshape(-1, tc_b, 9),
             jnp.pad(overflow_b, (0, pad)).reshape(-1, tc_b),
         )
+        if pad_tiles_to > 1:
+            nt = tile_args[0].shape[0]
+            p2 = (-nt) % pad_tiles_to
+            if p2:
+                fills = (PAD_ID, n, 0, 0, 0, False)
+                tile_args = tuple(
+                    jnp.pad(a, ((0, p2),) + ((0, 0),) * (a.ndim - 1),
+                            constant_values=f)
+                    for a, f in zip(tile_args, fills))
+        out.append((sp, tile_args, impl_b))
+    return out
 
-        def one_tile(args, capacity=sp.capacity, run_cap=sp.run_cap,
-                     impl=impl_b):
-            nbrs, dists, found, _, _, qpts, qrow, ok_q, exact = \
-                _tile_select(grid, args, k, capacity, run_cap, impl,
-                             want="coords")
-            out = fn(nbrs - qpts[:, :, None, :], found)
-            return out, exact & ok_q, dists[..., k - 1], qrow, ok_q
 
+def apply_cellwise_bucketed(
+    grid: GridIndex,
+    cells: CellTable,
+    k: int,
+    fn,
+    spec: tuple[BucketSpec, ...],
+    tile_cells: int = 128,
+    select_impl: str | None = None,
+    dest_order: str = "original",
+    runner=None,
+):
+    """``apply_cellwise`` over occupancy-bucketed cells: each bucket runs
+    the cell loop with its own (capacity, run_cap) statics, so padding
+    waste in the candidate gather, the select kernel, and the in-loop
+    ``fn`` tracks each cell's actual size instead of the global maximum.
+    Semantics identical to apply_cellwise (``probe_grid_buckets``
+    guarantees the spec covers every cell; anything beyond the last
+    bucket's statics degrades to exact=False, never to wrong results).
+
+    Returns (outputs pytree of (n, ...), exact (n,), kth_dist (n,)).
+    NOT jitted itself — call under jit.
+    """
+    if runner is None:
+        runner = cellwise_tile_runner
+    if select_impl is None:
+        select_impl = default_select_impl()
+    n = grid.sorted_points.shape[0]
+    outs, exacts, kths, dests = [], [], [], []
+    for sp, tile_args, impl_b in bucketed_tile_args(
+            grid, cells, spec, tile_cells, select_impl,
+            demote_pallas=runner is cellwise_tile_runner):
+        one_tile = runner(grid, k, sp.capacity, sp.run_cap, impl_b, fn)
         out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, tile_args)
         flat = lambda a: a.reshape((-1,) + a.shape[3:])
         dest_rows = flat(qrow)

@@ -68,7 +68,7 @@ def _curvature_of_neighborhoods(centered, method, implicit_mode):
 
 @partial(jax.jit, static_argnames=("k", "capacity", "max_cells", "tile_cells",
                                    "run_cap", "method", "implicit_mode",
-                                   "bucket_spec"))
+                                   "bucket_spec", "engine"))
 def fused_curvature(
     points: jax.Array,
     num_points: jax.Array,
@@ -81,6 +81,7 @@ def fused_curvature(
     method: str = "explicit",
     implicit_mode: str = "exact",
     bucket_spec: tuple | None = None,
+    engine: str = "list",
 ) -> FusedResult:
     """One XLA program: everything from raw padded points to curvatures.
 
@@ -92,7 +93,16 @@ def fused_curvature(
     cell's actual size (capacity/run_cap are ignored in that case). No
     exactness repair pass inside (that needs a host decision) — the
     ``exact`` output lets the caller audit coverage.
+
+    ``engine``: "list" materializes the (C,k,3) winner neighborhoods via
+    the top-k select kernel (fastest at k ≲ 64); "moments" accumulates
+    35 monomial sums per query instead (ops/pallas_moments.py) — O(32·M)
+    count passes instead of O(k·M) argmin rounds, the large-k path
+    (explicit method only; k-th distance ties get fractional weights,
+    see fit/moments.py).
     """
+    if engine == "moments" and method != "explicit":
+        raise ValueError("engine='moments' supports method='explicit' only")
     if capacity is None:
         capacity = int(2.5 * k) + 16
     n = points.shape[0]
@@ -107,14 +117,19 @@ def fused_curvature(
             centered, method, implicit_mode)
         return curv, normal
 
+    runner = None
+    if engine == "moments":
+        from pct_tpu.neighbors.cellknn import moments_tile_runner
+
+        runner = moments_tile_runner
     if bucket_spec is not None:
         (curv, normals), exact, kth = apply_cellwise_bucketed(
             grid, cells, k, fn, bucket_spec, tile_cells=tile_cells,
-            dest_order="original")
+            dest_order="original", runner=runner)
     else:
         (curv, normals), exact, kth = apply_cellwise(
             grid, cells, k, fn, capacity=capacity, tile_cells=tile_cells,
-            run_cap=run_cap, dest_order="original")
+            run_cap=run_cap, dest_order="original", runner=runner)
     return FusedResult(curv=curv, normals=normals, exact=exact,
                        kth_dist=kth)
 
@@ -130,13 +145,13 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
     single-jit bucketed pipeline. Use ``curvature_pipeline`` instead
     when you also need neighbor indices/distances or fit coefficients.
 
-    Large neighborhoods (k ≳ 64): the √k cell sizing packs hundreds of
-    points per cell, the Pallas select kernel's VMEM guard falls back
-    to the XLA select path, and its HBM-materialized distance tensors
-    make the cell loop slower than the staged pipeline — so this wrapper
-    routes such clouds through the query-centric staged path and
-    assembles the same FusedResult (measured: the cell loop at 1M×k=100
-    is minutes; the staged path is seconds).
+    Large neighborhoods (k ≳ 64): the top-k select kernel's O(k·M)
+    rounds (and its VMEM working set) stop paying — such clouds route
+    through the MOMENT engine (ops/pallas_moments.py: O(32·M) count
+    passes + 35 monomial sums per query, curvature rebuilt from the
+    moments), which runs the 1M-point k=100 class in seconds where the
+    list-based cell loop was minutes. Implicit-method requests at large
+    k fall back to the query-centric staged path (no moment form).
     """
     from pct_tpu.neighbors.cellknn import probe_grid_buckets
     from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
@@ -148,18 +163,24 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
     spec, mc = probe_grid_buckets(
         build_grid(cloud.points, cloud.num_points, cell),
         capacity_cap=max(256, 4 * k))
-    pallas_ok = all(sp.capacity * 9 * sp.run_cap * 4 * 3 <= 10 << 20
+    select_ok = all(sp.capacity * 9 * sp.run_cap * 4 * 3 <= 10 << 20
                     for sp in spec)
-    if not pallas_ok:
-        from pct_tpu.neighbors.knn import knn_cloud_grid
-        from pct_tpu.pipeline.curvature_pipeline import pointwise_curvature
+    if not select_ok:
+        if method != "explicit":
+            from pct_tpu.neighbors.knn import knn_cloud_grid
+            from pct_tpu.pipeline.curvature_pipeline import (
+                pointwise_curvature,
+            )
 
-        res, _ = knn_cloud_grid(cloud, k)
-        curv, normals, _ = pointwise_curvature(
-            cloud.points, res.indices, method=method,
-            implicit_mode=implicit_mode)
-        return FusedResult(curv=curv, normals=normals, exact=res.exact,
-                           kth_dist=res.dists[:, -1])
+            res, _ = knn_cloud_grid(cloud, k)
+            curv, normals, _ = pointwise_curvature(
+                cloud.points, res.indices, method=method,
+                implicit_mode=implicit_mode)
+            return FusedResult(curv=curv, normals=normals, exact=res.exact,
+                               kth_dist=res.dists[:, -1])
+        return fused_curvature(cloud.points, cloud.num_points, cell, k=k,
+                               max_cells=mc, bucket_spec=spec,
+                               method=method, engine="moments")
     return fused_curvature(cloud.points, cloud.num_points, cell, k=k,
                            max_cells=mc, bucket_spec=spec, method=method,
                            implicit_mode=implicit_mode)

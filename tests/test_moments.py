@@ -1,0 +1,126 @@
+"""Moment-based curvature (large-k path) vs the direct list-based chain.
+
+The moment path must reproduce tangent_frames + fit_quadratic +
+explicit_curvatures from order-invariant sums alone — same neighborhoods
+in, near-identical curvature out (preconditioning differs: RMS vs max
+anisotropic scaling, so agreement is tight-tolerance, not bitwise).
+"""
+
+import numpy as np
+import pytest
+
+from pct_tpu.core import from_numpy
+from pct_tpu.neighbors.knn import knn_cloud_grid
+from pct_tpu.pipeline.curvature_pipeline import pointwise_curvature
+from pct_tpu.shapes import analytic_curvatures, generate_shape
+
+
+def _moment_curvature_from_lists(pts_np, cloud, k):
+    import jax.numpy as jnp
+
+    from pct_tpu.fit.moments import (
+        curvature_from_moments,
+        neighborhood_moments,
+    )
+
+    res, _ = knn_cloud_grid(cloud, k)
+    n = int(cloud.num_points)
+    centered = cloud.points[res.indices] - cloud.points[:, None, :]
+    weights = res.valid.astype(jnp.float32)
+    sigma = res.dists[:, k - 1]
+    m = neighborhood_moments(centered, weights, sigma)
+    curv, normals = curvature_from_moments(
+        m, sigma, centered[:, 0, :], centered[:, k - 1, :])
+    return res, centered, curv, normals, n
+
+
+@pytest.mark.parametrize("shape,k", [("torus", 24), ("sphere", 16)])
+def test_moment_path_matches_direct_chain(shape, k):
+    pts, _ = generate_shape(shape, 3000, radius=1.0)
+    cloud = from_numpy(pts)
+    res, centered, curv_m, normals_m, n = _moment_curvature_from_lists(
+        pts, cloud, k)
+    curv_d, normals_d, _ = pointwise_curvature(cloud.points, res.indices)
+    K_m = np.asarray(curv_m.K)[:n]
+    K_d = np.asarray(curv_d.K)[:n]
+    H_m = np.asarray(curv_m.H)[:n]
+    H_d = np.asarray(curv_d.H)[:n]
+    scale = np.abs(K_d).max()
+    assert np.median(np.abs(K_m - K_d)) / scale < 2e-3
+    assert np.quantile(np.abs(K_m - K_d) / scale, 0.99) < 3e-2
+    assert np.median(np.abs(H_m - H_d)) / np.abs(H_d).max() < 2e-3
+    # normals agree including the sign fix
+    dots = np.sum(np.asarray(normals_m)[:n] * np.asarray(normals_d)[:n], -1)
+    assert (dots > 0.999).mean() > 0.999
+
+
+def test_moment_path_matches_analytic():
+    pts, _ = generate_shape("torus", 4000, radius=1.0)
+    cloud = from_numpy(pts)
+    _, _, curv, _, n = _moment_curvature_from_lists(pts, cloud, 20)
+    K = np.asarray(curv.K)[:n]
+    Ka, _ = analytic_curvatures("torus", pts)
+    strong = np.abs(Ka) > 0.5
+    rel = np.abs(K[strong] - Ka[strong]) / np.abs(Ka[strong])
+    assert np.median(rel) < 0.05
+
+
+def test_fractional_tie_weights_stay_finite():
+    """Duplicated / tied neighborhoods must produce finite moments and
+    curvature (clamping guards the w=0 far candidates)."""
+    import jax.numpy as jnp
+
+    from pct_tpu.fit.moments import (
+        curvature_from_moments,
+        neighborhood_moments,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((1, 8, 3)).astype(np.float32)
+    centered = jnp.asarray(np.concatenate([base, base], axis=1))  # exact ties
+    w = jnp.full((1, 16), 0.5)                                    # fractional
+    sigma = jnp.linalg.norm(centered, axis=-1).max(-1)
+    m = neighborhood_moments(centered, w, sigma)
+    curv, nrm = curvature_from_moments(m, sigma, centered[:, 0],
+                                       centered[:, -1])
+    assert np.isfinite(np.asarray(curv.K)).all()
+    assert np.isfinite(np.asarray(nrm)).all()
+
+
+def test_fused_moments_engine_matches_staged_large_k():
+    """fused_curvature(engine='moments') = the large-k flagship path —
+    neighborhood sets must match the staged query-centric path exactly
+    (no distance ties on this random-ish cloud), curvature to tight
+    tolerance (RMS vs max preconditioning)."""
+    import jax.numpy as jnp
+
+    from pct_tpu.neighbors.grid import estimate_cell_size
+    from pct_tpu.pipeline.fused import fast_curvature, fused_curvature
+
+    k = 96
+    pts, _ = generate_shape("sphere", 5000, radius=1.0)
+    rng = np.random.default_rng(11)
+    pts = pts + 1e-4 * rng.standard_normal(pts.shape).astype(np.float32)
+    cloud = from_numpy(pts)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    res_m = fused_curvature(cloud.points, cloud.num_points, cell, k=k,
+                            engine="moments")
+    n = int(cloud.num_points)
+    assert np.asarray(res_m.exact)[:n].mean() > 0.99
+    # staged oracle on the same neighborhoods
+    res, _ = knn_cloud_grid(cloud, k)
+    curv_d, _, _ = pointwise_curvature(cloud.points, res.indices)
+    e = np.asarray(res_m.exact)[:n]
+    K_m = np.asarray(res_m.curv.K)[:n][e]
+    K_d = np.asarray(curv_d.K)[:n][e]
+    scale = np.abs(K_d).max()
+    assert np.median(np.abs(K_m - K_d)) / scale < 2e-3
+    assert np.quantile(np.abs(K_m - K_d) / scale, 0.99) < 3e-2
+    # kth distance agrees with the staged path's kth neighbor distance
+    np.testing.assert_allclose(np.asarray(res_m.kth_dist)[:n][e],
+                               np.asarray(res.dists)[:n, -1][e], rtol=1e-5)
+    # fast_curvature routes large-k through the moment engine and returns
+    # the same result
+    res_f = fast_curvature(cloud, k=k)
+    K_f = np.asarray(res_f.curv.K)[:n][e]
+    np.testing.assert_allclose(K_f, K_m, rtol=1e-4, atol=1e-6)

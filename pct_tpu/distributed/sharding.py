@@ -1,4 +1,4 @@
-"""Multi-chip spatial sharding of the curvature pipeline.
+"""Multi-chip spatial sharding of the FUSED curvature pipeline.
 
 The reference is strictly single-process (SURVEY.md §2 "Parallelism"),
 so this layer is a design obligation, not a port: points are the only
@@ -6,24 +6,30 @@ scaling axis, and after neighbor search every stage is pointwise. The
 decomposition:
 
 - the cloud (N,3) is replicated — 1M points ≈ 12 MB, far below HBM;
-  the *work* (queries) is what gets sharded;
+  the *work* is what gets sharded;
 - the grid index is built once (replicated compute: one sort);
-- queries are sharded along the grid-sorted order, so each chip owns a
-  SPATIALLY CONTIGUOUS slab of cells — gathers stay chip-local and
-  cache-coherent, which is the slab-sharding of SURVEY §2 without
-  needing a halo exchange (the replicated cloud *is* the halo);
-- global statistics (NaN census, curvature sums for energies) reduce
-  with `psum` over the mesh axis — ICI collectives, the NCCL-equivalent.
+- the unit of sharded work is a TILE OF OCCUPIED CELLS from the
+  cell-centric kNN (neighbors/cellknn.py) — the flagship fused kernel,
+  NOT the slower query-centric path. Cells are spatially contiguous in
+  the compacted table, so each chip owns coherent slabs of cells and
+  its candidate gathers stay local to its slab of the sorted array
+  (which XLA keeps replicated: gathers are pure reads, no traffic);
+- per-tile compute is the exact same ``cellwise_tile_runner`` body the
+  single-chip ``fused_curvature`` runs, so a D-chip run and a 1-chip
+  run produce BIT-IDENTICAL curvatures — the partition only changes
+  which chip executes which tile (test_distributed.py asserts 1.0
+  agreement);
+- global statistics (NaN census, mean |K|/|H|) reduce with `psum`
+  over the mesh axis — ICI collectives, the NCCL-equivalent.
 
-For clouds too large to replicate (≫10⁸ points) the design extends to
-true slab residency + `ppermute` halo cell exchange; the query-sharded
-form is the right trade below that scale and is what the benchmark
-configs (≤1M points) need.
+For clouds too large to replicate (≫10⁸ points) see distributed/slab.py:
+true slab residency + `ppermute` halo exchange; the replicated form is
+the right trade below that scale and is what the benchmark configs
+(≤1M points) need.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -32,9 +38,15 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pct_tpu.curvature.explicit import Curvatures
-from pct_tpu.neighbors.grid import build_grid
-from pct_tpu.neighbors.knn import knn_grid
-from pct_tpu.pipeline.fused import _curvature_of_neighborhoods
+from pct_tpu.neighbors.cellknn import (
+    bucketed_tile_args,
+    _cellwise_setup,
+    cellwise_tile_runner,
+    compact_cells,
+    default_max_cells,
+    default_select_impl,
+)
+from pct_tpu.neighbors.grid import PAD_ID, build_grid
 
 POINTS_AXIS = "points"
 
@@ -55,6 +67,8 @@ class ShardedStats(NamedTuple):
 class ShardedResult(NamedTuple):
     curv: Curvatures          # per-point, original order, replicated layout
     normals: jax.Array
+    exact: jax.Array          # (N,) certified-exact kNN coverage per point
+    kth_dist: jax.Array       # (N,) distance to the kth neighbor
     stats: ShardedStats
 
 
@@ -65,65 +79,145 @@ def sharded_curvature(
     cell_size: jax.Array,
     k: int = 20,
     capacity: int | None = None,
-    rings: int = 1,
-    knn_tile: int = 512,
+    max_cells: int | None = None,
+    run_cap: int | None = None,
+    tile_cells: int = 128,
     method: str = "explicit",
+    implicit_mode: str = "exact",
+    select_impl: str | None = None,
+    bucket_spec: tuple | None = None,
 ) -> ShardedResult:
     """Full multi-chip curvature step (jit this, or call inside jit).
 
-    Capacity of ``points`` must be divisible by the mesh size (the
-    PointCloud padding policy guarantees multiples of 1024).
+    Runs the fused cell-centric pipeline (grid kNN select + frames +
+    quadratic fit + curvature evaluated INSIDE the cell loop) with the
+    tile axis sharded over ``mesh``. Statics default to the same
+    heuristics as ``pipeline.fused.fused_curvature``; pass probe-tuned
+    values — or a ``bucket_spec`` from ``probe_grid_buckets`` for the
+    occupancy-bucketed flagship layout — for zero-waste padding.
+    ``exact`` reports the per-point coverage certificate so callers can
+    audit (and repair) coverage — there is no silent approximation on
+    the multichip path.
     """
+    from pct_tpu.pipeline.fused import _curvature_of_neighborhoods
+
+    if select_impl is None:
+        select_impl = default_select_impl()
     if capacity is None:
         capacity = int(2.5 * k) + 16
+    n = points.shape[0]
+    d = len(mesh.devices.ravel())
+    if max_cells is None:
+        max_cells = default_max_cells(n, k, tile_cells)
     grid = build_grid(points, num_points, cell_size)
-    grid_specs = jax.tree.map(lambda _: P(), grid)
+    cells = compact_cells(grid, max_cells)
 
-    def local_shard(pts_rep, grid_rep, q_shard, qidx_shard):
-        res = knn_grid(grid_rep, q_shard, k, query_indices=qidx_shard,
-                       capacity=capacity, rings=rings, tile=knn_tile,
-                       exclude_self=True)
-        centered = pts_rep[res.indices] - q_shard[:, None, :]
-        curv, normal = _curvature_of_neighborhoods(centered, method, "exact")
-        # global reductions over the mesh axis (ICI psum); NaN-tolerant like
-        # the reference's census (a handful of degenerate fits must not
-        # poison the global statistics)
-        valid = qidx_shard < num_points
-        finite = valid & jnp.isfinite(curv.K) & jnp.isfinite(curv.H)
+    def _pad_tiles(tile_args):
+        # pad the tile axis to a multiple of the mesh size with PAD
+        # tiles (empty cells: count 0 -> ok_q False everywhere ->
+        # dropped at the final scatter); real tiles compute exactly what
+        # the 1-chip fused path computes.
+        nt = tile_args[0].shape[0]
+        pad = (-nt) % d
+        if pad:
+            fills = (PAD_ID, n, 0, 0, 0, False)
+            tile_args = tuple(
+                jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                        constant_values=f)
+                for a, f in zip(tile_args, fills))
+        return tile_args
+
+    # normalize both layouts to a list of (capacity, run_cap, impl, args)
+    if bucket_spec is not None:
+        buckets = [
+            (sp.capacity, sp.run_cap, impl_b, args)
+            for sp, args, impl_b in bucketed_tile_args(
+                grid, cells, bucket_spec, tile_cells, select_impl,
+                pad_tiles_to=d)
+        ]
+    else:
+        if run_cap is None:
+            run_cap = 3 * capacity
+        tile_args, tile_cells, select_impl = _cellwise_setup(
+            grid, cells, capacity, tile_cells, run_cap, select_impl)
+        buckets = [(capacity, run_cap, select_impl, _pad_tiles(tile_args))]
+
+    def fn(centered, found):
+        del found  # parity: the reference uses all k slots unconditionally
+        return _curvature_of_neighborhoods(centered, method, implicit_mode)
+
+    grid_specs = jax.tree.map(lambda _: P(), grid)
+    statics = [(cap_b, rc_b, impl_b) for cap_b, rc_b, impl_b, _ in buckets]
+    all_args = tuple(args for _, _, _, args in buckets)
+
+    def local(grid_rep, all_args_l):
+        outs, exacts, kths, qrows, okqs = [], [], [], [], []
+        for (cap_b, rc_b, impl_b), args in zip(statics, all_args_l):
+            one_tile = cellwise_tile_runner(grid_rep, k, cap_b, rc_b,
+                                            impl_b, fn)
+            out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, args)
+            # flatten each bucket to rows (bucket capacities differ)
+            flat = lambda a: a.reshape((-1,) + a.shape[3:])
+            outs.append(jax.tree_util.tree_map(flat, out))
+            exacts.append(flat(exact))
+            kths.append(flat(kth))
+            qrows.append(flat(qrow))
+            okqs.append(flat(ok_q))
+        out = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
+        exact = jnp.concatenate(exacts)
+        kth = jnp.concatenate(kths)
+        qrow = jnp.concatenate(qrows)
+        ok_q = jnp.concatenate(okqs)
+        (curv, _normal) = out
+        # global reductions over the mesh axis (ICI psum); NaN-tolerant
+        # like the reference's census (a handful of degenerate fits must
+        # not poison the global statistics)
+        finite = ok_q & jnp.isfinite(curv.K) & jnp.isfinite(curv.H)
         cnt = jnp.maximum(
             jax.lax.psum(jnp.sum(finite.astype(jnp.float32)), POINTS_AXIS),
             1.0)
         m_absK = jax.lax.psum(
-            jnp.sum(jnp.where(finite, jnp.abs(curv.K), 0.0)), POINTS_AXIS) / cnt
+            jnp.sum(jnp.where(finite, jnp.abs(curv.K), 0.0)), POINTS_AXIS
+        ) / cnt
         m_absH = jax.lax.psum(
-            jnp.sum(jnp.where(finite, jnp.abs(curv.H), 0.0)), POINTS_AXIS) / cnt
+            jnp.sum(jnp.where(finite, jnp.abs(curv.H), 0.0)), POINTS_AXIS
+        ) / cnt
         vcnt = jnp.maximum(
-            jax.lax.psum(jnp.sum(valid.astype(jnp.float32)), POINTS_AXIS), 1.0)
+            jax.lax.psum(jnp.sum(ok_q.astype(jnp.float32)), POINTS_AXIS), 1.0)
         nan_frac = jax.lax.psum(
-            jnp.sum(jnp.where(valid & (~jnp.isfinite(curv.K)), 1.0, 0.0)),
+            jnp.sum(jnp.where(ok_q & (~jnp.isfinite(curv.K)), 1.0, 0.0)),
             POINTS_AXIS) / vcnt
         stats = ShardedStats(m_absK, m_absH, nan_frac)
-        return curv, normal, stats
+        return out, exact, kth, qrow, ok_q, stats
 
+    tile_spec = jax.tree.map(lambda _: P(POINTS_AXIS), all_args)
+    row_spec = P(POINTS_AXIS)
     shard_fn = jax.shard_map(
-        local_shard,
+        local,
         mesh=mesh,
-        in_specs=(P(), grid_specs, P(POINTS_AXIS, None), P(POINTS_AXIS)),
+        in_specs=(grid_specs, tile_spec),
         out_specs=(
-            Curvatures(*(P(POINTS_AXIS),) * 5),
-            P(POINTS_AXIS, None),
+            (Curvatures(*(row_spec,) * 5), row_spec),
+            row_spec, row_spec, row_spec, row_spec,
             ShardedStats(P(), P(), P()),
         ),
         check_vma=False,
     )
-    curv_sorted, normals_sorted, stats = shard_fn(
-        points, grid, grid.sorted_points, grid.order)
+    (curv, normals), exact, kth, qrow, ok_q, stats = shard_fn(grid, all_args)
 
-    def unsort(a):
-        return jnp.zeros_like(a).at[grid.order].set(a)
+    # final scatter to the caller's original point order (replicated
+    # compute, one pass) — identical to apply_cellwise's epilogue
+    dest = jnp.where(ok_q, grid.order[qrow], n)
+
+    def scatter(a):
+        return jnp.zeros((n,) + a.shape[1:], a.dtype).at[dest].set(
+            a, mode="drop")
 
     return ShardedResult(
-        curv=Curvatures(*[unsort(c) for c in curv_sorted]),
-        normals=unsort(normals_sorted),
+        curv=Curvatures(*[scatter(c) for c in curv]),
+        normals=scatter(normals),
+        exact=jnp.zeros((n,), bool).at[dest].set(
+            exact & (~cells.overflow), mode="drop"),
+        kth_dist=jnp.zeros((n,), jnp.float32).at[dest].set(kth, mode="drop"),
         stats=stats,
     )

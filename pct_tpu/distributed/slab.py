@@ -12,8 +12,9 @@ a halo:
   slabs: each chip sends its first/last ``halo`` sorted rows to its
   mesh neighbors with ``jax.lax.ppermute`` (one ICI hop each way);
 - each chip builds a LOCAL grid over [left-halo ++ slab ++ right-halo]
-  and runs the standard cell-centric kNN + fused curvature on its own
-  slab's queries;
+  and runs the FUSED cell-centric kNN + curvature loop
+  (neighbors/cellknn.py — the flagship single-chip kernel, not the
+  slower query-centric path) over its local cells;
 - per-query exactness certification still applies: a kth neighbor that
   could lie beyond the halo shows up as exact=False (the halo width is
   chosen from the global kth-distance bound, so this is empty in
@@ -28,25 +29,29 @@ makes any violation visible rather than silent.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pct_tpu.curvature.explicit import Curvatures
-from pct_tpu.distributed.sharding import POINTS_AXIS, make_mesh
+from pct_tpu.distributed.sharding import POINTS_AXIS, make_mesh  # noqa: F401
+from pct_tpu.neighbors.cellknn import (
+    _cellwise_setup,
+    cellwise_tile_runner,
+    compact_cells,
+    default_max_cells,
+    default_select_impl,
+)
 from pct_tpu.neighbors.grid import build_grid
-from pct_tpu.neighbors.knn import knn_grid
-from pct_tpu.pipeline.fused import _curvature_of_neighborhoods
 
 
 class SlabResult(NamedTuple):
     curv: Curvatures         # (N,) arrays in SORTED order (slab-concatenated)
     normals: jax.Array
     exact: jax.Array
+    kth_dist: jax.Array
     order: jax.Array         # original index per sorted row (for unsorting)
 
 
@@ -58,22 +63,34 @@ def slab_curvature(
     k: int = 20,
     halo: int | None = None,
     capacity: int | None = None,
-    knn_tile: int = 512,
+    run_cap: int | None = None,
+    tile_cells: int = 128,
     method: str = "explicit",
+    implicit_mode: str = "exact",
+    select_impl: str | None = None,
 ) -> SlabResult:
     """Full slab-resident multi-chip step.
 
     ``halo``: sorted rows exchanged per side (default 4·k·expected-row
     width ≈ plenty for rings=1 coverage; certified by ``exact``).
     """
+    from pct_tpu.pipeline.fused import _curvature_of_neighborhoods
+
+    if select_impl is None:
+        select_impl = default_select_impl()
     if capacity is None:
         capacity = int(2.5 * k) + 16
+    if run_cap is None:
+        run_cap = 3 * capacity
     if halo is None:
         halo = max(256, 8 * k)
     n = points.shape[0]
     d = len(mesh.devices.ravel())
     assert n % d == 0, "capacity must divide the mesh size"
     assert halo < n // d, "halo must be smaller than the slab size"
+    local_n = n // d + 2 * halo
+    max_cells = min(((local_n + tile_cells - 1) // tile_cells) * tile_cells,
+                    default_max_cells(local_n, k, tile_cells))
 
     # global sort once (replicated — one XLA sort; for > replicable sizes
     # this becomes a distributed sort, out of scope for this round)
@@ -104,12 +121,9 @@ def slab_curvature(
 
         local_pts = jnp.concatenate([from_left, slab_pts, from_right])
         local_ids = jnp.concatenate([from_left_ids, slab_ids, from_right_ids])
-        local_rows = jnp.concatenate([
-            jnp.zeros((halo,), jnp.int32), slab_rows,
-            jnp.zeros((halo,), jnp.int32)])
         # local grid: the rows are already cell-sorted EXCEPT the PAD_ID
         # masking above, so re-sort locally (cheap: slab-sized)
-        order_l = jnp.argsort(local_ids, stable=True)
+        order_l = jnp.argsort(local_ids, stable=True).astype(jnp.int32)
         from pct_tpu.neighbors.grid import GridIndex
 
         lgrid = GridIndex(
@@ -119,13 +133,47 @@ def slab_curvature(
             origin=grid.origin, cell_size=grid.cell_size, dims=grid.dims,
             num_valid=jnp.sum((local_ids != PAD_ID).astype(jnp.int32)),
         )
-        # queries: the slab's own rows; identity for self-exclusion is the
-        # LOCAL position (halo + arange)
-        qidx_local = halo + jnp.arange(slab_pts.shape[0], dtype=jnp.int32)
-        res = knn_grid(lgrid, slab_pts, k, query_indices=qidx_local,
-                       capacity=capacity, tile=knn_tile, exclude_self=True)
-        centered = local_pts[res.indices] - slab_pts[:, None, :]
-        curv, normal = _curvature_of_neighborhoods(centered, method, "exact")
+        # --- fused cell-centric loop over the LOCAL cells (the flagship
+        # kernel): every local point (slab + halo) is a query; halo rows'
+        # outputs are sliced away below ---
+        cells_l = compact_cells(lgrid, max_cells)
+        tile_args, _tc, impl = _cellwise_setup(
+            lgrid, cells_l, capacity, tile_cells, run_cap, select_impl)
+
+        def fn(centered, found):
+            del found
+            return _curvature_of_neighborhoods(centered, method,
+                                               implicit_mode)
+
+        one_tile = cellwise_tile_runner(lgrid, k, capacity, run_cap,
+                                        impl, fn)
+        out, exact_t, kth_t, qrow_t, ok_q_t = jax.lax.map(one_tile, tile_args)
+        (curv_t, normal_t) = out
+
+        # scatter tile outputs to LOCAL-POSITION order (0..local_n)
+        flat = lambda a: a.reshape((-1,) + a.shape[3:])
+        qrow_f, ok_f = flat(qrow_t), flat(ok_q_t)
+        dest = jnp.where(ok_f, lgrid.order[qrow_f], local_n)
+
+        def scatter(a):
+            a = a.reshape((-1,) + a.shape[3:])
+            return jnp.zeros((local_n,) + a.shape[1:], a.dtype).at[dest].set(
+                a, mode="drop")
+
+        curv_l = Curvatures(*[scatter(c) for c in curv_t])
+        normal_l = scatter(normal_t)
+        exact_l = jnp.zeros((local_n,), bool).at[dest].set(
+            flat(exact_t) & (~cells_l.overflow), mode="drop")
+        kth_l = jnp.zeros((local_n,), jnp.float32).at[dest].set(
+            flat(kth_t), mode="drop")
+
+        # keep the slab's own rows (drop halo rows)
+        sl = lambda a: a[halo:halo + slab_pts.shape[0]]
+        curv = Curvatures(*[sl(c) for c in curv_l])
+        normal = sl(normal_l)
+        exact = sl(exact_l)
+        kth = sl(kth_l)
+
         # --- halo-coverage certificate: the geometric coverage check
         # cannot see points MISSING from the local slab+halo. Each shard
         # learns (one more ppermute) the id of the first row its neighbor
@@ -146,19 +194,20 @@ def slab_curvature(
         qc = cell_coords(slab_pts, grid.origin, grid.cell_size, grid.dims)
         win_lo = linearize(jnp.clip(qc - 1, 0, grid.dims - 1))
         win_hi = linearize(jnp.clip(qc + 1, 0, grid.dims - 1))
-        exact = res.exact & (win_lo > x_left) & (win_hi < x_right)
-        return curv, normal, exact, slab_rows
+        exact = exact & (win_lo > x_left) & (win_hi < x_right)
+        return curv, normal, exact, kth, slab_rows
 
     shard_fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(POINTS_AXIS, None), P(POINTS_AXIS), P(POINTS_AXIS)),
         out_specs=(Curvatures(*(P(POINTS_AXIS),) * 5), P(POINTS_AXIS, None),
-                   P(POINTS_AXIS), P(POINTS_AXIS)),
+                   P(POINTS_AXIS), P(POINTS_AXIS), P(POINTS_AXIS)),
         check_vma=False,
     )
-    curv, normals, exact, rows = shard_fn(sorted_pts, sorted_ids, grid.order)
-    return SlabResult(curv, normals, exact, rows)
+    curv, normals, exact, kth, rows = shard_fn(sorted_pts, sorted_ids,
+                                               grid.order)
+    return SlabResult(curv, normals, exact, kth, rows)
 
 
 def slab_curvature_unsorted(mesh, cloud, k: int = 20, **kw):
@@ -167,7 +216,6 @@ def slab_curvature_unsorted(mesh, cloud, k: int = 20, **kw):
 
     cell = estimate_cell_size(cloud.points, cloud.num_points, k)
     res = slab_curvature(mesh, cloud.points, cloud.num_points, cell, k=k, **kw)
-    n = cloud.capacity
 
     def unsort(a):
         return jnp.zeros_like(a).at[res.order].set(a)

@@ -6,7 +6,7 @@ import pytest
 from pct_tpu.core import from_numpy
 from pct_tpu.distributed.sharding import make_mesh, sharded_curvature
 from pct_tpu.neighbors.grid import estimate_cell_size
-from pct_tpu.pipeline import curvature_pipeline
+from pct_tpu.pipeline.fused import fused_curvature
 from pct_tpu.shapes import analytic_curvatures, generate_shape
 
 
@@ -29,25 +29,31 @@ def test_sharded_curvature_matches_analytic(torus_cloud, n_devices):
     assert np.median(rel) < 0.05
     assert float(res.stats.nan_fraction) == 0.0
     assert float(res.stats.mean_abs_K) > 0.5
+    # coverage is certified per point, not assumed (ADVICE round 1)
+    assert np.asarray(res.exact)[:4000].all()
 
 
-def test_sharded_matches_single_device(torus_cloud):
-    """The multi-chip decomposition must be bitwise-stable in content:
-    same curvatures as the single-device pipeline (modulo fp reduction
-    order in the fit, tolerated at 1e-3)."""
+def test_sharded_matches_single_device_exactly(torus_cloud):
+    """The multi-chip path runs the SAME fused cell-centric tile body as
+    the single-chip flagship — the mesh partition only changes which chip
+    executes which tile, so every point's curvature must agree exactly
+    (no tie-flip churn: identical candidate layout per cell => identical
+    winners; rtol guards only against XLA fusion-level fp noise between
+    the two compiled programs)."""
     pts, cloud = torus_cloud
     mesh = make_mesh(8)
     cell = estimate_cell_size(cloud.points, cloud.num_points, 16)
     res = sharded_curvature(mesh, cloud.points, cloud.num_points, cell, k=16)
-    single = curvature_pipeline(cloud, k=16)
+    single = fused_curvature(cloud.points, cloud.num_points, cell, k=16)
     K_sh = np.asarray(res.curv.K)[:4000]
     K_1 = np.asarray(single.curv.K)[:4000]
-    # lattice-sampled torus has exact distance ties -> the two kNN kernels
-    # may pick different (equally correct) neighbor sets for a few points
-    match = np.isclose(K_sh, K_1, rtol=1e-3, atol=1e-4)
-    # threshold leaves headroom for tie-flip churn across cell-size
-    # estimator tweaks (measured 0.966-0.985 depending on sampling)
-    assert match.mean() > 0.95
+    match = np.isclose(K_sh, K_1, rtol=1e-5, atol=1e-7)
+    assert match.mean() == 1.0
+    np.testing.assert_array_equal(np.asarray(res.exact)[:4000],
+                                  np.asarray(single.exact)[:4000])
+    np.testing.assert_allclose(np.asarray(res.kth_dist)[:4000],
+                               np.asarray(single.kth_dist)[:4000],
+                               rtol=1e-6, atol=0)
 
 
 def test_graft_entry_and_dryrun():
@@ -68,8 +74,7 @@ def test_jit_of_sharded_step(torus_cloud):
     @jax.jit
     def step(points, num_points):
         cell = estimate_cell_size(points, num_points, 8)
-        return sharded_curvature(mesh, points, num_points, cell, k=8,
-                                 knn_tile=256)
+        return sharded_curvature(mesh, points, num_points, cell, k=8)
 
     res = step(cloud.points, cloud.num_points)
     assert np.isfinite(float(res.stats.mean_abs_K))

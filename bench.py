@@ -80,12 +80,57 @@ def main():
     relK = np.abs(K - Ka) / scale
     relH = np.abs(np.abs(H) - np.abs(Ha)) / np.abs(Ha)
 
+    # --- secondary paths (regression visibility, VERDICT r1 #9) ---
+    # scans-class k=100 via the moment engine (large-k flagship)
+    def run_k100():
+        cell = estimate_cell_size(cloud.points, cloud.num_points, 100)
+        return fused_curvature(cloud.points, cloud.num_points, cell, k=100,
+                               max_cells=mc100, bucket_spec=spec100,
+                               engine="moments")
+
+    cell100 = estimate_cell_size(cloud.points, cloud.num_points, 100)
+    spec100, mc100 = probe_grid_buckets(
+        build_grid(cloud.points, cloud.num_points, cell100),
+        capacity_cap=400)
+    sync_res = run_k100()
+    sync(sync_res)
+    t100s = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sync(run_k100())
+        t100s.append(time.perf_counter() - t0)
+    t_k100 = min(t100s)
+
+    # library kNN: full (N,k) ids + distances
+    from pct_tpu.neighbors.cellknn import knn_cellwise, probe_grid
+    from pct_tpu.neighbors.grid import build_grid as _bg
+
+    def run_knn():
+        cell = estimate_cell_size(cloud.points, cloud.num_points, K_NEIGHBORS)
+        grid = _bg(cloud.points, cloud.num_points, cell)
+        return knn_cellwise(grid, cells_knn, K_NEIGHBORS,
+                            capacity=cap_knn, run_cap=rc_knn, lean=False)
+
+    grid0 = _bg(cloud.points, cloud.num_points, cell0)
+    cells_knn, cap_knn, _mc, rc_knn = probe_grid(grid0)
+    r_knn = run_knn()
+    np.asarray(r_knn.dists[0:1, 0])
+    tknn = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r_knn = run_knn()
+        np.asarray(r_knn.dists[0:1, 0])
+        tknn.append(time.perf_counter() - t0)
+    t_knn = min(tknn)
+
     out = {
         "metric": "knn_quadric_curvature_1M_torus_points_per_sec_per_chip",
         "value": round(throughput, 1),
         "unit": "points/s",
         "vs_baseline": round(throughput / 6300.0, 2),
         "seconds_per_1M": round(t, 4),
+        "seconds_per_1M_k100_moments": round(t_k100, 4),
+        "seconds_per_1M_library_knn_full": round(t_knn, 4),
         "k": K_NEIGHBORS,
         "knn_exact_fraction": round(exact_frac, 6),
         "nan_fraction": float(np.isnan(K).mean()),

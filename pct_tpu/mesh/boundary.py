@@ -115,6 +115,110 @@ def fill_hole(vertices: np.ndarray, loop: np.ndarray) -> np.ndarray:
     return faces.astype(np.int64)
 
 
+def order_loop(be: np.ndarray, loop: np.ndarray) -> np.ndarray | None:
+    """Walk a loop's boundary edges into an ordered vertex cycle.
+
+    Returns None when the loop is not a simple cycle (some vertex has
+    != 2 boundary edges — e.g. two holes sharing a vertex)."""
+    sel = np.isin(be[:, 0], loop) & np.isin(be[:, 1], loop)
+    adj: dict = {}
+    for a, b in be[sel]:
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    if len(adj) != loop.size or any(len(v) != 2 for v in adj.values()):
+        return None
+    start = int(loop[0])
+    cyc = [start]
+    prev, cur = None, start
+    while True:
+        nxts = [v for v in adj[cur] if v != prev]
+        if not nxts:
+            return None
+        nxt = nxts[0]
+        if nxt == start:
+            break
+        cyc.append(nxt)
+        prev, cur = cur, nxt
+        if len(cyc) > loop.size:
+            return None
+    if len(cyc) != loop.size or len(cyc) < 3:
+        return None
+    return np.asarray(cyc, dtype=np.int64)
+
+
+def _min_area_triangulation(P: np.ndarray) -> List[Tuple[int, int, int]]:
+    """Minimum-total-area triangulation of an ordered 3D polygon chain
+    (classic interval DP, O(L³)) — well-behaved on NON-planar loops
+    where a projected Delaunay would fold."""
+    L = len(P)
+
+    def area(a, b, c):
+        cr = np.cross(P[b] - P[a], P[c] - P[a])
+        return 0.5 * float(np.sqrt((cr * cr).sum()))
+
+    dp = np.zeros((L, L))
+    choice = np.zeros((L, L), dtype=np.int64)
+    for span in range(2, L):
+        for i in range(L - span):
+            j = i + span
+            best, bm = None, i + 1
+            for m in range(i + 1, j):
+                cost = dp[i][m] + dp[m][j] + area(i, m, j)
+                if best is None or cost < best:
+                    best, bm = cost, m
+            dp[i][j], choice[i][j] = best, bm
+    tris: List[Tuple[int, int, int]] = []
+
+    def rec(i, j):
+        if j - i < 2:
+            return
+        m = int(choice[i][j])
+        tris.append((i, m, j))
+        rec(i, m)
+        rec(m, j)
+
+    rec(0, L - 1)
+    return tris
+
+
+def fill_holes_by_size(vertices: np.ndarray, faces: np.ndarray,
+                       hole_size: float,
+                       max_loop: int = 256) -> Tuple[np.ndarray, int]:
+    """Final large-hole pass (ref utils.py:338-345: pyvista
+    ``fill_holes(hole_size=bbox_avg/10)`` after Taubin smoothing).
+
+    Fills every simple boundary loop whose bounding radius is below
+    ``hole_size`` — planar or not: the loop is ordered by edge-walking
+    and triangulated by minimum-area interval DP (fan from vertex 0 for
+    loops longer than ``max_loop``, where O(L³) DP stops paying).
+    Returns (faces', n_filled).
+    """
+    loops = detect_boundary_loops(faces)
+    if not loops:
+        return faces, 0
+    be = boundary_edges(faces)
+    new_faces = [faces.astype(np.int64)]
+    filled = 0
+    for loop in loops:
+        if loop.size < 3:
+            continue
+        pts = vertices[loop]
+        radius = float(np.linalg.norm(pts - pts.mean(0), axis=1).max())
+        if radius > hole_size:
+            continue
+        cyc = order_loop(be, loop)
+        if cyc is None:
+            continue
+        if cyc.size <= max_loop:
+            tris = _min_area_triangulation(vertices[cyc])
+        else:
+            tris = [(0, i, i + 1) for i in range(1, cyc.size - 1)]
+        if tris:
+            new_faces.append(cyc[np.asarray(tris, dtype=np.int64)])
+            filled += 1
+    return np.concatenate(new_faces, axis=0), filled
+
+
 def fill_small_holes(vertices: np.ndarray, faces: np.ndarray,
                      perimeter_factor: float = 0.5,
                      planar_tol: float = 1e-2) -> Tuple[np.ndarray, int]:

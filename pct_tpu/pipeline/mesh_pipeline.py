@@ -63,7 +63,9 @@ def create_mesh_with_curvature(
         cloud, k=min(50, max(4, n - 1))))[:n]
     dbar = float(mean_nn_distance(cloud.points, cloud.num_points))
     faces = cleanup_mesh(ball_pivoting(points, normals,
-                                       bpa_radii(dbar, num_radii)))
+                                       bpa_radii(dbar, num_radii),
+                                       degeneracy_jitter=0.01,
+                                       mean_spacing=dbar))
 
     filled = 0
     if fill_holes and faces.size:
@@ -78,6 +80,18 @@ def create_mesh_with_curvature(
         verts = np.asarray(taubin_smooth(jnp.asarray(points),
                                          jnp.asarray(faces),
                                          iterations=smooth_iterations))
+
+    if fill_holes and faces.size:
+        # final large-hole pass after smoothing (ref utils.py:338-345:
+        # pyvista fill_holes(hole_size=bbox_avg/10)) — non-planar loops
+        # included, min-area triangulation
+        from pct_tpu.mesh.boundary import fill_holes_by_size
+
+        bbox = points.max(0) - points.min(0)
+        faces, nf = fill_holes_by_size(verts, faces,
+                                       hole_size=float(bbox.mean()) / 10.0)
+        filled += nf
+        faces = cleanup_mesh(faces.astype(np.int32))
 
     # curvature on the (smoothed) mesh vertices — reference semantics:
     # a fresh PointCloud over the mesh vertices (utils.py:481-501)

@@ -94,15 +94,27 @@ def validate_cloud(
     outlier_filter: bool = False,
     output_dir: Optional[str] = None,
     study_tol_rel: float = 0.0,
+    use_mesh: bool = True,
 ) -> ValidationResult:
-    """Mesh-free validate_shape (ref utils.py:476 driver sequence):
+    """validate_shape (ref utils.py:476 driver sequence):
 
     1. neighbor-convergence study (auto_k) — abort if converged k < 10
-    2. fused curvature pipeline at k_neighbors (reference quirk preserved:
-       fits run at the CONFIGURED k, not the converged k; utils.py:495-498)
+    2. curvature at k_neighbors (reference quirk preserved: fits run at
+       the CONFIGURED k, not the converged k; utils.py:495-498)
     3. NaN census, optional z-score filtering
-    4. density-weighted bending/stretching/area integrals
-    5. optional artifact dumps (.npy curvatures, curvature PLY)
+    4. bending/stretching/area integrals
+    5. optional artifact dumps (.npy curvatures, curvature PLY, and in
+       mesh mode a mesh_snaps/*.vtk snapshot — ref utils.py:356-366)
+
+    ``use_mesh=True`` (default) follows the reference's protocol exactly:
+    BPA reconstruction → hole fill → Taubin smooth → vertex curvature →
+    face-averaged energy integrals over triangle areas (ref utils.py:479
+    create_mesh_with_curvature + :562 load_mesh_compute_energies). The
+    triangle areas tile the surface, so the integrals are
+    sampling-pattern-agnostic (measured 50k: sphere/torus area err
+    0.004%/0.09%). ``use_mesh=False`` is the fast mesh-free estimate
+    with per-point disk weights a_i = π·r_k²/k — one fused jit, but
+    lattice-sampled clouds bias the disk weights by up to ~20%.
     """
     t0 = time.time()
     cloud = from_numpy(points)
@@ -121,31 +133,61 @@ def validate_cloud(
                                     np.nan, time.time() - t0,
                                     aborted="neighbor study did not converge")
 
-    # probe-tuned bucketed fused pipeline: the area weights only need the
-    # kth-neighbor distance, which FusedResult carries — no (N,k) outputs
-    r = fast_curvature(cloud, k=k_neighbors)
-    K = np.asarray(r.curv.K)[:n]
-    H = np.asarray(r.curv.H)[:n]
-    r_k = np.asarray(r.kth_dist)[:n]
+    normals = None
+    mesh_path = None
+    if use_mesh:
+        from pct_tpu.pipeline.mesh_pipeline import create_mesh_with_curvature
 
-    nan_frac = float(np.isnan(K).mean())
-    if nan_frac > nan_abort_fraction:
-        log.error("NaN fraction %.2f > %.2f — aborting (ref utils.py:524-533)",
-                  nan_frac, nan_abort_fraction)
-        return ValidationResult(shape, variant, n, radius, k_neighbors,
-                                converged_k, np.nan, np.nan, np.nan, nan_frac,
-                                time.time() - t0, aborted="NaN census")
+        if output_dir:
+            snaps = os.path.join(output_dir, "mesh_snaps")
+            os.makedirs(snaps, exist_ok=True)
+            mesh_path = os.path.join(
+                snaps, f"mesh_{n}_points_{shape}_{variant}.vtk")
+        mesh = create_mesh_with_curvature(points, k_neighbors=k_neighbors,
+                                          save_mesh_path=mesh_path)
+        K, H = mesh.K, mesh.H
+        normals = mesh.normals
+        nan_frac = float(np.isnan(K).mean())
+        if nan_frac > nan_abort_fraction:
+            log.error("NaN fraction %.2f > %.2f — aborting "
+                      "(ref utils.py:524-533)", nan_frac, nan_abort_fraction)
+            return ValidationResult(shape, variant, n, radius, k_neighbors,
+                                    converged_k, np.nan, np.nan, np.nan,
+                                    nan_frac, time.time() - t0,
+                                    aborted="NaN census")
+        bending = float(mesh.energies.bending)
+        stretching = float(mesh.energies.stretching)
+        total_area = float(mesh.energies.total_area)
+    else:
+        # probe-tuned bucketed fused pipeline: the area weights only need
+        # the kth-neighbor distance, which FusedResult carries — no (N,k)
+        # outputs
+        r = fast_curvature(cloud, k=k_neighbors)
+        K = np.asarray(r.curv.K)[:n]
+        H = np.asarray(r.curv.H)[:n]
+        r_k = np.asarray(r.kth_dist)[:n]
+        normals = np.asarray(r.normals)[:n]
 
-    areas = np.pi * r_k * r_k / k_neighbors   # point_area_weights on r_k
-    # non-certified rows (kNN coverage not provable, e.g. a cell fuller
-    # than the capacity cap) carry zero outputs — exclude like NaNs
-    keep = np.isfinite(K) & np.isfinite(H) & np.asarray(r.exact)[:n]
-    if outlier_filter:
-        keep &= zscore_filter(K) & zscore_filter(H)
+        nan_frac = float(np.isnan(K).mean())
+        if nan_frac > nan_abort_fraction:
+            log.error("NaN fraction %.2f > %.2f — aborting "
+                      "(ref utils.py:524-533)", nan_frac, nan_abort_fraction)
+            return ValidationResult(shape, variant, n, radius, k_neighbors,
+                                    converged_k, np.nan, np.nan, np.nan,
+                                    nan_frac, time.time() - t0,
+                                    aborted="NaN census")
 
-    bending = float(np.nansum(H[keep] ** 2 * areas[keep]))
-    stretching = float(np.nansum(K[keep] * areas[keep]))
-    total_area = float(np.nansum(areas[keep]))
+        areas = np.pi * r_k * r_k / k_neighbors  # point_area_weights on r_k
+        # non-certified rows (kNN coverage not provable, e.g. a cell
+        # fuller than the capacity cap) carry zero outputs — exclude like
+        # NaNs
+        keep = np.isfinite(K) & np.isfinite(H) & np.asarray(r.exact)[:n]
+        if outlier_filter:
+            keep &= zscore_filter(K) & zscore_filter(H)
+
+        bending = float(np.nansum(H[keep] ** 2 * areas[keep]))
+        stretching = float(np.nansum(K[keep] * areas[keep]))
+        total_area = float(np.nansum(areas[keep]))
 
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
@@ -155,7 +197,7 @@ def validate_cloud(
         from pct_tpu.io.ply import write_ply
 
         write_ply(os.path.join(output_dir, f"{stem}_with_curvatures.ply"),
-                  points, np.asarray(r.normals)[:n],
+                  points, normals,
                   vertex_props={"gaussian_curvature": K,
                                 "mean_curvature": H})
 

@@ -58,6 +58,7 @@ def run_sweep(
     auto_k: bool = False,
     output_dir: Optional[str] = None,
     seed: int = 0,
+    use_mesh: bool = True,
 ) -> List[dict]:
     rows = []
     for num_points in point_counts:
@@ -76,7 +77,7 @@ def run_sweep(
                 for variant, strength in variants:
                     row = _run_one(shape, variant, num_points, radius,
                                    strength, k_neighbors, auto_k,
-                                   output_dir, seed)
+                                   output_dir, seed, use_mesh)
                     rows.append(row)
                     _append_row(out_csv, row)
     if backup_csv:
@@ -88,7 +89,7 @@ def run_sweep(
 
 
 def _run_one(shape, variant, num_points, radius, strength, k_neighbors,
-             auto_k, output_dir, seed) -> dict:
+             auto_k, output_dir, seed, use_mesh=True) -> dict:
     t0 = time.time()
     try:
         # inside the try: stress shapes (mobius, dupin_cyclide) have no
@@ -101,7 +102,7 @@ def _run_one(shape, variant, num_points, radius, strength, k_neighbors,
         pts = pert if variant == "Perturbed" else unpert
         res = validate_cloud(pts, shape=shape, variant=variant, radius=radius,
                              k_neighbors=k_neighbors, auto_k=auto_k,
-                             output_dir=output_dir)
+                             output_dir=output_dir, use_mesh=use_mesh)
         area_t = analytic_area(shape, radius)
         bend_t, stretch_t = analytic_energies(shape, radius)
         status = res.aborted or "ok"
@@ -153,6 +154,10 @@ def main(argv=None):
                    help="dump .npy curvatures + colored PLYs here")
     p.add_argument("--quick", action="store_true",
                    help="small sanity sweep (4 shapes x 20k points x r=1)")
+    p.add_argument("--mesh-free", action="store_true",
+                   help="skip BPA reconstruction: fast per-point disk-area "
+                        "integrals instead of the reference's mesh protocol "
+                        "(biased on lattice-sampled clouds)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -160,7 +165,8 @@ def main(argv=None):
         args.points, args.radii = [20_000], [1.0]
     rows = run_sweep(args.points, args.radii, args.shapes, out_csv=args.out,
                      perturbation=args.perturbation, k_neighbors=args.k,
-                     auto_k=args.auto_k, output_dir=args.output_dir)
+                     auto_k=args.auto_k, output_dir=args.output_dir,
+                     use_mesh=not args.mesh_free)
     ok = [r for r in rows if r["status"] == "ok"]
     print(f"sweep done: {len(ok)}/{len(rows)} rows ok -> {args.out}")
     for r in ok:

@@ -172,3 +172,46 @@ def test_normals_orientation_sphere(rng):
     d = np.sum(nrm * pts, axis=1)
     frac_pos = (d > 0).mean()
     assert frac_pos > 0.99 or frac_pos < 0.01
+
+
+def test_fill_holes_by_size_nonplanar():
+    """The final large-hole pass (ref utils.py:338-345 semantics) must
+    close a NON-planar hole the small-hole (planarity-gated) pass skips:
+    a spherical cap cut out of an icosphere."""
+    from pct_tpu.mesh.boundary import (
+        boundary_edges,
+        fill_holes_by_size,
+        fill_small_holes,
+    )
+    from pct_tpu.mesh.reconstruct import reconstruct_cloud
+    from pct_tpu.shapes import generate_shape
+
+    pts, _ = generate_shape("sphere", 3000, radius=1.0)
+    faces = reconstruct_cloud(pts)
+    # cut a deep cap (non-planar boundary curve once holes get large)
+    keep = pts[:, 2] < 0.75
+    old2new = -np.ones(len(pts), np.int64)
+    old2new[keep] = np.arange(keep.sum())
+    fkeep = keep[faces].all(axis=1)
+    faces_cut = old2new[faces[fkeep]]
+    pts_cut = pts[keep]
+    assert len(boundary_edges(faces_cut)) > 10
+    # the planarity-gated small-hole pass must NOT close a deep cap...
+    f_small, _ = fill_small_holes(pts_cut, faces_cut)
+    # ...the size-gated pass with a generous budget must
+    f_big, n_big = fill_holes_by_size(pts_cut, faces_cut, hole_size=2.0)
+    assert n_big >= 1
+    assert len(boundary_edges(f_big)) < len(boundary_edges(faces_cut))
+
+
+def test_order_loop_simple_cycle():
+    from pct_tpu.mesh.boundary import order_loop
+
+    # square hole: edges 0-1-2-3-0
+    be = np.array([[0, 1], [1, 2], [2, 3], [0, 3]])
+    cyc = order_loop(be, np.array([0, 1, 2, 3]))
+    assert cyc is not None and len(cyc) == 4
+    # walking order is a rotation/reflection of the cycle
+    pos = {v: i for i, v in enumerate(cyc)}
+    for a, b in be:
+        assert (pos[a] - pos[b]) % 4 in (1, 3)

@@ -12,12 +12,25 @@ from pct_tpu.validate.harness import (
 from pct_tpu.validate.sweep import run_sweep
 
 
-def test_validate_sphere_energies():
+def test_validate_sphere_energies_mesh_protocol():
+    """Default path = the reference's mesh protocol (BPA -> vertex
+    curvature -> face-averaged integrals): tight gates."""
     pts, _ = generate_shape("sphere", 8000, radius=1.0)
     res = validate_cloud(pts, shape="sphere", radius=1.0, k_neighbors=20,
                          auto_k=False)
     assert res.aborted == ""
     # sphere: area 4π, bending 4π, stretching 4π (Gauss-Bonnet)
+    assert np.isclose(res.total_area, 4 * np.pi, rtol=0.02)
+    assert np.isclose(res.bending_energy, 4 * np.pi, rtol=0.02)
+    assert np.isclose(res.stretching_energy, 4 * np.pi, rtol=0.02)
+
+
+def test_validate_sphere_energies_mesh_free():
+    pts, _ = generate_shape("sphere", 8000, radius=1.0)
+    res = validate_cloud(pts, shape="sphere", radius=1.0, k_neighbors=20,
+                         auto_k=False, use_mesh=False)
+    assert res.aborted == ""
+    # disk-weight estimate: looser (sampling-pattern bias, see harness)
     assert np.isclose(res.total_area, 4 * np.pi, rtol=0.10)
     assert np.isclose(res.bending_energy, 4 * np.pi, rtol=0.10)
     assert np.isclose(res.stretching_energy, 4 * np.pi, rtol=0.10)
@@ -28,7 +41,9 @@ def test_validate_torus_stretching_zero():
     res = validate_cloud(pts, shape="torus", radius=1.0, k_neighbors=20,
                          auto_k=False)
     # Gauss-Bonnet: ∫K dA = 0 for a torus; compare against bending scale
-    assert abs(res.stretching_energy) < 0.15 * res.bending_energy
+    assert abs(res.stretching_energy) < 0.05 * res.bending_energy
+    area_true = 4 * np.pi ** 2 / 3
+    assert np.isclose(res.total_area, area_true, rtol=0.02)
 
 
 def test_validate_artifacts(tmp_path):
@@ -40,6 +55,9 @@ def test_validate_artifacts(tmp_path):
     assert "sphere_Unperturbed_2000_gaussian.npy" in files
     assert "sphere_Unperturbed_2000_mean.npy" in files
     assert "sphere_Unperturbed_2000_with_curvatures.ply" in files
+    # mesh protocol also snapshots the mesh (ref utils.py:356-366)
+    snaps = {p.name for p in (tmp_path / "mesh_snaps").iterdir()}
+    assert "mesh_2000_points_sphere_Unperturbed.vtk" in snaps
 
 
 def test_zscore_filter():

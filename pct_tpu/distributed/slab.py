@@ -79,7 +79,8 @@ def slab_curvature(
     if select_impl is None:
         select_impl = default_select_impl()
     if capacity is None:
-        capacity = int(2.5 * k) + 16
+        capacity = ((int(2.5 * k) + 16 + 7) // 8) * 8  # 8-aligned: odd sublane
+        # counts compile pathologically slowly in Mosaic (113 s vs 2 s)
     if run_cap is None:
         run_cap = 3 * capacity
     if halo is None:

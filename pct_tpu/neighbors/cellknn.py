@@ -645,7 +645,8 @@ def knn_all_points(grid: GridIndex, k: int, capacity: int | None = None,
     """Cell-centric self-kNN for every point of the grid (sorted order)."""
     n = grid.sorted_points.shape[0]
     if capacity is None:
-        capacity = int(2.5 * k) + 16
+        capacity = ((int(2.5 * k) + 16 + 7) // 8) * 8  # 8-aligned: odd sublane
+        # counts compile pathologically slowly in Mosaic (113 s vs 2 s)
     if max_cells is None:
         max_cells = default_max_cells(n, k, tile_cells)
     cells = compact_cells(grid, max_cells)

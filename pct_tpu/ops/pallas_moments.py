@@ -208,6 +208,13 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
     """
     del block_cells  # one cell-tile per program (the d² scratch is C·M)
     t, c, _ = qpts.shape
+    # pad the query axis to a sublane multiple: Mosaic compiles odd C
+    # catastrophically slowly (measured: C=266 113 s vs C=272 ~2 s)
+    pad_c = (-c) % 8
+    if pad_c:
+        qpts = jnp.pad(qpts, ((0, 0), (0, pad_c), (0, 0)))
+        qrow = jnp.pad(qrow, ((0, 0), (0, pad_c)), constant_values=-1)
+    cp = c + pad_c
     m = cpts.shape[1]
     chunk = min(chunk, ((m + 127) // 128) * 128)
     pad_m = (-m) % chunk
@@ -222,7 +229,7 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
     b3 = lambda i: (i, 0, 0)
     b4 = lambda i: (i, 0, 0, 0)
     vm = pltpu.VMEM
-    cspec = pl.BlockSpec((1, 1, c), b3, memory_space=vm)
+    cspec = pl.BlockSpec((1, 1, cp), b3, memory_space=vm)
     gspec = pl.BlockSpec((1, g, 1, chunk), b4, memory_space=vm)
 
     def as_g(a):
@@ -233,9 +240,9 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
         grid=grid,
         in_specs=[cspec, cspec, cspec, gspec, gspec, gspec, gspec, cspec,
                   gspec],
-        out_specs=pl.BlockSpec((1, c, NOUT), b3, memory_space=vm),
-        out_shape=jax.ShapeDtypeStruct((t, c, NOUT), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((g, c, chunk), jnp.int32)],
+        out_specs=pl.BlockSpec((1, cp, NOUT), b3, memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((t, cp, NOUT), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((g, cp, chunk), jnp.int32)],
         # the d² scratch plus one loop iteration's temporaries exceed
         # Mosaic's default 16 MB scoped-VMEM budget at production sizes;
         # v5e has 128 MB of VMEM
@@ -245,7 +252,7 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
     )(qpts[:, None, :, 0], qpts[:, None, :, 1], qpts[:, None, :, 2],
       as_g(cpts[..., 0]), as_g(cpts[..., 1]), as_g(cpts[..., 2]),
       as_g(cand), qrow[:, None, :], as_g(valid))
-    return out
+    return out[:, :c]
 
 
 def knn_moments_xla(qpts, cpts, cand, qrow, valid, k: int):

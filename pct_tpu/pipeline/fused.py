@@ -99,12 +99,17 @@ def fused_curvature(
     35 monomial sums per query instead (ops/pallas_moments.py) — O(32·M)
     count passes instead of O(k·M) argmin rounds, the large-k path
     (explicit method only; k-th distance ties get fractional weights,
-    see fit/moments.py).
+    see fit/moments.py). On real TPUs pass a ``bucket_spec`` with the
+    moments engine (``fast_curvature`` does): the conservative
+    single-bucket statics at k≈100 (capacity≈272, M≈7k) drive Mosaic's
+    kernel compile to ~10 minutes, while probe-tuned buckets
+    (capacity ≤ 128, M ≤ 3k) compile in seconds.
     """
     if engine == "moments" and method != "explicit":
         raise ValueError("engine='moments' supports method='explicit' only")
     if capacity is None:
-        capacity = int(2.5 * k) + 16
+        capacity = ((int(2.5 * k) + 16 + 7) // 8) * 8  # 8-aligned: odd sublane
+        # counts compile pathologically slowly in Mosaic (113 s vs 2 s)
     n = points.shape[0]
     if max_cells is None:
         max_cells = default_max_cells(n, k, tile_cells)

@@ -30,7 +30,8 @@ FIELDS = ["file", "num_points", "k_used", "converged_k", "bending_energy",
 
 def run_scans(scan_dir: str, out_csv: str = "scans_results.csv",
               pattern: str = "*.ply", k_neighbors: int = 100,
-              outlier_filter: bool = True, output_dir=None):
+              outlier_filter: bool = True, output_dir=None,
+              use_mesh: bool = True):
     files = sorted(glob.glob(os.path.join(scan_dir, pattern)))
     rows = []
     for path in files:
@@ -40,7 +41,8 @@ def run_scans(scan_dir: str, out_csv: str = "scans_results.csv",
             # convergence tol never fires - use a relative criterion
             r = validate_file(path, shape=name, k_neighbors=k_neighbors,
                               outlier_filter=outlier_filter,
-                              output_dir=output_dir, study_tol_rel=1e-2)
+                              output_dir=output_dir, study_tol_rel=1e-2,
+                              use_mesh=use_mesh)
             rows.append({"file": path, "num_points": r.num_points,
                          "k_used": r.k_used, "converged_k": r.converged_k,
                          "bending_energy": r.bending_energy,
@@ -76,6 +78,8 @@ def main(argv=None):
                    help="cProfile + top-20 cumtime (ref main_scans.py:70-73)")
     p.add_argument("--jax-trace", default=None,
                    help="directory for a jax.profiler device trace")
+    p.add_argument("--mesh-free", action="store_true",
+                   help="skip BPA reconstruction (fast disk-area integrals)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -85,9 +89,11 @@ def main(argv=None):
 
             with jax.profiler.trace(args.jax_trace):
                 return run_scans(args.dir, args.out, args.pattern, args.k,
-                                 not args.no_filter, args.output_dir)
+                                 not args.no_filter, args.output_dir,
+                                 use_mesh=not args.mesh_free)
         return run_scans(args.dir, args.out, args.pattern, args.k,
-                         not args.no_filter, args.output_dir)
+                         not args.no_filter, args.output_dir,
+                         use_mesh=not args.mesh_free)
 
     if args.profile:
         pr = cProfile.Profile()

@@ -215,3 +215,49 @@ def test_order_loop_simple_cycle():
     pos = {v: i for i, v in enumerate(cyc)}
     for a, b in be:
         assert (pos[a] - pos[b]) % 4 in (1, 3)
+
+
+def test_mesh_pipeline_noisy_scanlike_fixture():
+    """Perturbed (curvature-adaptive noise) sphere = a scan-like messy
+    cloud: the full pipeline (BPA + jitter, hole passes incl. the final
+    large-hole fill, Taubin, energies) must produce a near-closed mesh
+    with sane energies — VERDICT r1 #8."""
+    from pct_tpu.mesh.boundary import boundary_edges
+    from pct_tpu.pipeline.mesh_pipeline import create_mesh_with_curvature
+    from pct_tpu.shapes import generate_shape
+
+    _, pts = generate_shape("sphere", 6000, radius=1.0,
+                            perturbation_strength=0.01, seed=3)
+    m = create_mesh_with_curvature(pts, k_neighbors=20)
+    assert len(m.faces) > 1.7 * len(pts)          # near-closed: F ≈ 2V
+    # residual open boundary is a tiny fraction of the edge count
+    assert len(boundary_edges(m.faces)) < 0.01 * 3 * len(m.faces)
+    e = m.energies
+    assert np.isfinite(e.bending) and np.isfinite(e.total_area)
+    assert abs(e.total_area - 4 * np.pi) / (4 * np.pi) < 0.06
+    assert abs(e.bending - 4 * np.pi) / (4 * np.pi) < 0.15
+
+
+def test_mesh_pipeline_dupin_cyclide():
+    """Stress shape (dupin cyclide: genus-1, strongly varying feature
+    size). Gauss-Bonnet: ∫K dA must be ~0 relative to ∫|K| dA."""
+    import jax.numpy as jnp
+
+    from pct_tpu.mesh.energies import triangle_areas
+    from pct_tpu.pipeline.mesh_pipeline import create_mesh_with_curvature
+    from pct_tpu.shapes import generate_shape
+
+    pts, _ = generate_shape("dupin_cyclide", 8000, radius=1.0)
+    m = create_mesh_with_curvature(pts, k_neighbors=20)
+    # the cyclide's ~20x nearest-neighbor-distance spread is a known BPA
+    # stressor (fixed radii ladder): the mesh stays partial (~1.5 F/V
+    # instead of 2) — the pipeline must still complete with finite
+    # energies; the Gauss-Bonnet residual is dominated by the missing
+    # high-curvature horn area, so only a loose bound is meaningful
+    assert len(m.faces) > 1.3 * len(pts)
+    areas = np.asarray(triangle_areas(jnp.asarray(m.vertices),
+                                      jnp.asarray(m.faces)))
+    K_f = np.nanmean(m.K[m.faces], axis=1)
+    abs_int = float(np.nansum(np.abs(K_f) * areas))
+    assert np.isfinite(m.energies.bending)
+    assert abs(float(m.energies.stretching)) < 0.25 * abs_int

@@ -98,6 +98,21 @@ def _cmd_plot_results(args):
     print(f"{len(rows)} rows plotted -> {args.out}")
 
 
+def _cmd_reconstruct(args):
+    from pct_tpu.io import load_points
+    from pct_tpu.pipeline.mesh_pipeline import create_mesh_with_curvature
+
+    pts, _ = load_points(args.input)
+    m = create_mesh_with_curvature(pts, k_neighbors=args.k,
+                                   smooth_iterations=args.smooth,
+                                   save_mesh_path=args.output)
+    e = m.energies
+    print(f"{args.input}: {len(pts)} points -> {args.output} "
+          f"({len(m.faces)} faces, {m.n_holes_filled} holes filled, "
+          f"area {e.total_area:.4g}, bending {e.bending:.4g}, "
+          f"stretching {e.stretching:.4g})")
+
+
 def _cmd_bench(args):
     # bench.py lives at the repo root (driver contract), not in the
     # package — make the import location-independent
@@ -171,6 +186,14 @@ def main(argv=None):
     sp.add_argument("--out", default="plots")
     sp.add_argument("--curvature-dir", default=None)
     sp.set_defaults(fn=_cmd_plot_results)
+
+    sp = sub.add_parser("reconstruct", help="mesh a cloud (BPA pipeline) "
+                        "-> .ply/.vtk with curvature scalars")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--k", type=int, default=20)
+    sp.add_argument("--smooth", type=int, default=10)
+    sp.set_defaults(fn=_cmd_reconstruct)
 
     sp = sub.add_parser("bench")
     sp.set_defaults(fn=_cmd_bench)

@@ -326,13 +326,14 @@ def knn_cellwise(
     def one_tile(args):
         rows, dists, found, _, _, _, qrow, ok_q, exact = _tile_select(
             grid, args, k, capacity, run_cap, select_impl, want="rows")
+        del found      # validity is re-derived from the distances below
         idx_orig = grid.order[rows] if original_ids else rows
-        return idx_orig, dists, found, exact & ok_q
+        return idx_orig, dists, exact & ok_q
 
-    idx, dists, found, exact = jax.lax.map(one_tile, tile_args)
+    idx, dists, exact = jax.lax.map(one_tile, tile_args)
 
     flat = lambda a: a.reshape((-1,) + a.shape[3:])
-    idx, dists, found = flat(idx), flat(dists), flat(found)
+    idx, dists = flat(idx), flat(dists)
     exact = flat(exact)
     # reorder (cell,slot) results to sorted-row order with a GATHER, not
     # a scatter (XLA scatter on TPU costs ~1s/1M×k=20 rows; the inverse
@@ -355,8 +356,12 @@ def knn_cellwise(
         # the fused pipeline only needs indices + kth distance
         kth = jnp.where(covered, dists[src, k - 1], 0.0)
         return NeighborResult(out_idx, kth[:, None], None, out_e)
-    out_d = jnp.where(covered[:, None], dists[src], 0.0)
-    out_f = jnp.where(covered[:, None], found[src], False)
+    d_src = dists[src]
+    out_d = jnp.where(covered[:, None], d_src, 0.0)
+    # derive validity from the distance instead of gathering `found`
+    # (missing slots carry inf on the XLA path / ~1.7e19 on the pallas
+    # path) — one full (N,k) gather fewer in the lean=False epilogue
+    out_f = covered[:, None] & (d_src < 1e18)
     return NeighborResult(out_idx, out_d, out_f, out_e)
 
 
@@ -367,35 +372,30 @@ def moments_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
     Same (one_tile) contract as ``cellwise_tile_runner`` but the
     neighborhoods are never materialized — the Pallas moment kernel
     (ops/pallas_moments.py) reduces each query's k nearest to 35
-    monomial sums, and ``fit.moments.curvature_from_moments`` rebuilds
-    the frames → fit → curvature chain from them. ``fn`` is ignored
-    (the curvature chain is fixed — only the explicit method exists in
-    moment form); O(32·M) count passes replace O(k·M) argmin rounds.
+    monomial sums; the tile OUTPUT is the raw (tc, C, NOUT) stats slab,
+    and the caller runs ``fit.moments.curvature_from_moments`` ONCE over
+    the flat scattered array (the ~5k-op symbolic moment rotation inside
+    every per-bucket lax.map body made the 1M XLA compile pathological).
+    ``fn`` is ignored (the curvature chain is fixed — only the explicit
+    method exists in moment form); O(32·M) count passes replace O(k·M)
+    argmin rounds.
     """
     del fn
-    from pct_tpu.fit.moments import curvature_from_moments
-    from pct_tpu.ops.pallas_moments import knn_moments, knn_moments_xla
+    from pct_tpu.ops.pallas_moments import knn_moments, xla_moment_stats
 
     def one_tile(args):
         cand, ok_cand, cpts, qpts, qrow, ok_q, cover, run_overflow, _ = \
             _tile_candidates(grid, args, capacity, run_cap)
         ok_i = ok_cand.astype(jnp.int32)
         if select_impl in ("pallas", "pallas_interpret"):
-            out = knn_moments(qpts, cpts, cand, qrow, ok_i, k,
-                              interpret=select_impl == "pallas_interpret")
-            moments = out[..., :35]
-            sigma = out[..., 38]
-            nearest = out[..., 39:42]
-            kth_pt = out[..., 42:45]
-            found = out[..., 45] > 0.0
+            stats = knn_moments(qpts, cpts, cand, qrow, ok_i, k,
+                                interpret=select_impl == "pallas_interpret")
         else:
-            d = knn_moments_xla(qpts, cpts, cand, qrow, ok_i, k)
-            moments, sigma = d["moments"], d["sigma"]
-            nearest, kth_pt, found = d["nearest"], d["kth"], d["found"]
-        curv, normal = curvature_from_moments(moments, sigma, nearest,
-                                              kth_pt)
+            stats = xla_moment_stats(qpts, cpts, cand, qrow, ok_i, k)
+        sigma = stats[..., 38]
+        found = stats[..., 45] > 0.0
         exact = found & (sigma <= cover) & (~run_overflow[:, None]) & ok_q
-        return (curv, normal), exact, sigma, qrow, ok_q
+        return stats, exact, sigma, qrow, ok_q
 
     return one_tile
 

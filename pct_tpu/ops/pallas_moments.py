@@ -255,6 +255,20 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
     return out[:, :c]
 
 
+def xla_moment_stats(qpts, cpts, cand, qrow, valid, k: int):
+    """knn_moments_xla packed into the kernel's (T, C, NOUT) layout."""
+    d = knn_moments_xla(qpts, cpts, cand, qrow, valid, k)
+    t, c = d["sigma"].shape
+    z = jnp.zeros((t, c), jnp.float32)
+    cols = ([d["moments"][..., i] for i in range(len(MOMENT_EXPS))]
+            + [d["tau"], d["count_lt"].astype(jnp.float32),
+               d["count_le"].astype(jnp.float32), d["sigma"]]
+            + [d["nearest"][..., j] for j in range(3)]
+            + [d["kth"][..., j] for j in range(3)]
+            + [d["found"].astype(jnp.float32), z, z])
+    return jnp.stack(cols, axis=-1)
+
+
 def knn_moments_xla(qpts, cpts, cand, qrow, valid, k: int):
     """XLA reference of the kernel's semantics (exact kth via top_k; the
     d² math is the same world-coordinate difference form, so outputs

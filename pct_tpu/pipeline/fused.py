@@ -128,13 +128,26 @@ def fused_curvature(
 
         runner = moments_tile_runner
     if bucket_spec is not None:
-        (curv, normals), exact, kth = apply_cellwise_bucketed(
+        out, exact, kth = apply_cellwise_bucketed(
             grid, cells, k, fn, bucket_spec, tile_cells=tile_cells,
             dest_order="original", runner=runner)
     else:
-        (curv, normals), exact, kth = apply_cellwise(
+        out, exact, kth = apply_cellwise(
             grid, cells, k, fn, capacity=capacity, tile_cells=tile_cells,
             run_cap=run_cap, dest_order="original", runner=runner)
+    if engine == "moments":
+        # ONE moment->curvature pass over the flat scattered stats (the
+        # symbolic moment rotation is ~5k HLO ops; instantiating it
+        # inside every per-bucket lax.map body made the 1M XLA compile
+        # pathologically slow)
+        from pct_tpu.fit.moments import curvature_from_moments
+
+        stats = out
+        curv, normals = curvature_from_moments(
+            stats[..., :35], stats[..., 38], stats[..., 39:42],
+            stats[..., 42:45])
+    else:
+        curv, normals = out
     return FusedResult(curv=curv, normals=normals, exact=exact,
                        kth_dist=kth)
 

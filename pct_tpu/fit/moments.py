@@ -107,13 +107,73 @@ def _peval(p, m):
     return acc
 
 
+def _moment_tensors(m: jax.Array):
+    """Moment vector -> dense symmetric moment tensors M1 (...,3),
+    M2 (...,3,3), M3 (...,3,3,3), M4 (...,3,3,3,3): tensor entry
+    (i1..id) is the moment with exponent = the index multiset."""
+    def mom(*axes):
+        e = [0, 0, 0]
+        for a in axes:
+            e[a] += 1
+        return m[..., _IDX[tuple(e)]]
+
+    M1 = jnp.stack([mom(i) for i in range(3)], axis=-1)
+    M2 = jnp.stack([jnp.stack([mom(i, j) for j in range(3)], -1)
+                    for i in range(3)], -2)
+    M3 = jnp.stack([jnp.stack([jnp.stack([mom(i, j, kk) for kk in range(3)],
+                                         -1)
+                               for j in range(3)], -2)
+                    for i in range(3)], -3)
+    M4 = jnp.stack(
+        [jnp.stack([jnp.stack([jnp.stack([mom(i, j, kk, ll)
+                                          for ll in range(3)], -1)
+                               for kk in range(3)], -2)
+                    for j in range(3)], -3)
+         for i in range(3)], -4)
+    return M1, M2, M3, M4
+
+
 def rotated_moments(m: jax.Array, R: jax.Array) -> dict:
     """s-moments Σ w·(R r̂)^β needed by the quadratic fit.
 
     m: (..., NUM_MOMENTS) raw moments; R: (..., 3, 3) with s = R r̂.
     Returns {(a, b, c): (...)-array} for all (a,b,0) a+b<=4 and
     (a,b,1) a+b<=2 — the 21 moments the 6×6 normal equations need.
-    """
+
+    Computed as degree-d tensor contractions S_d = R^{⊗d}·M_d (a handful
+    of batched einsums over 3-wide axes) — the equivalent symbolic
+    per-term expansion (``rotated_moments_symbolic``) emits ~5k HLO ops,
+    which at million-point batch sizes drove the XLA compile beyond an
+    hour. Small-axis einsums are pinned to HIGHEST precision (TPU f32
+    matmuls default to bf16 passes)."""
+    hi = jax.lax.Precision.HIGHEST
+    M1, M2, M3, M4 = _moment_tensors(m)
+    S1 = jnp.einsum("...ai,...i->...a", R, M1, precision=hi)
+    S2 = jnp.einsum("...ai,...bj,...ij->...ab", R, R, M2, precision=hi)
+    S3 = jnp.einsum("...ai,...bj,...ck,...ijk->...abc", R, R, R, M3,
+                    precision=hi)
+    S4 = jnp.einsum("...ai,...bj,...ck,...dl,...ijkl->...abcd", R, R, R, R,
+                    M4, precision=hi)
+    S = {(0, 0, 0): m[..., _IDX[(0, 0, 0)]]}
+
+    def pick(t, axes):
+        idx = tuple(axes)
+        return t[(Ellipsis,) + idx]
+
+    for (a, b, c) in [(1, 0, 0), (0, 1, 0), (0, 0, 1)]:
+        S[(a, b, c)] = pick(S1, [0] * a + [1] * b + [2] * c)
+    for d, t in ((2, S2), (3, S3), (4, S4)):
+        for a in range(d + 1):
+            for b in range(d - a + 1):
+                c = d - a - b
+                if c > 1 or (c == 1 and a + b > 2):
+                    continue  # the fit never reads these
+                S[(a, b, c)] = pick(t, [0] * a + [1] * b + [2] * c)
+    return S
+
+
+def rotated_moments_symbolic(m: jax.Array, R: jax.Array) -> dict:
+    """Per-term symbolic expansion (test oracle for rotated_moments)."""
     sx = {(1, 0, 0): R[..., 0, 0], (0, 1, 0): R[..., 0, 1],
           (0, 0, 1): R[..., 0, 2]}
     sy = {(1, 0, 0): R[..., 1, 0], (0, 1, 0): R[..., 1, 1],

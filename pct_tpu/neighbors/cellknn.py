@@ -459,16 +459,27 @@ def apply_cellwise(
         demote_pallas=runner is cellwise_tile_runner)
 
     one_tile = runner(grid, k, capacity, run_cap, select_impl, fn)
-    out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, tile_args)
-
-    flat = lambda a: a.reshape((-1,) + a.shape[3:])
+    if runner is moments_tile_runner and select_impl == "pallas":
+        # the moment kernel's grid axis IS the cell axis: one pallas
+        # call over every cell instead of lax.map over tiles — a pallas
+        # custom-call inside a mapped while-loop at 1M scale never
+        # finished XLA compilation (>58 min, twice). The XLA fallback
+        # keeps the map: it materializes (tile, C, M) distance tensors
+        # and must stay tiled.
+        cell_args = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), tile_args)
+        out, exact, kth, qrow, ok_q = one_tile(cell_args)
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    else:
+        out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, tile_args)
+        flat = lambda a: a.reshape((-1,) + a.shape[3:])
     exact, kth = flat(exact), flat(kth)
     qrow, ok_q = flat(qrow), flat(ok_q)
     dest_rows = grid.order[qrow] if dest_order == "original" else qrow
     dest = jnp.where(ok_q, dest_rows, n)
 
     def scatter(a):
-        a = a.reshape((-1,) + a.shape[3:])
+        a = flat(a)
         return jnp.zeros((n,) + a.shape[1:], a.dtype).at[dest].set(
             a, mode="drop")
 
@@ -606,8 +617,17 @@ def apply_cellwise_bucketed(
             grid, cells, spec, tile_cells, select_impl,
             demote_pallas=runner is cellwise_tile_runner):
         one_tile = runner(grid, k, sp.capacity, sp.run_cap, impl_b, fn)
-        out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, tile_args)
-        flat = lambda a: a.reshape((-1,) + a.shape[3:])
+        if runner is moments_tile_runner and impl_b == "pallas":
+            # single pallas call over all of this bucket's cells (see
+            # apply_cellwise: pallas-in-lax.map compiles pathologically;
+            # the XLA fallback stays tiled)
+            cell_args = jax.tree_util.tree_map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), tile_args)
+            out, exact, kth, qrow, ok_q = one_tile(cell_args)
+            flat = lambda a: a.reshape((-1,) + a.shape[2:])
+        else:
+            out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, tile_args)
+            flat = lambda a: a.reshape((-1,) + a.shape[3:])
         dest_rows = flat(qrow)
         if dest_order == "original":
             dest_rows = grid.order[dest_rows]

@@ -124,3 +124,33 @@ def test_fused_moments_engine_matches_staged_large_k():
     res_f = fast_curvature(cloud, k=k)
     K_f = np.asarray(res_f.curv.K)[:n][e]
     np.testing.assert_allclose(K_f, K_m, rtol=1e-4, atol=1e-6)
+
+
+def test_rotated_moments_tensor_matches_symbolic():
+    """The einsum-contraction rotated_moments must equal the symbolic
+    per-term expansion (the latter is the mathematical definition; the
+    former is what ships — ~50 HLO ops instead of ~5k)."""
+    import jax.numpy as jnp
+
+    from pct_tpu.fit.frames import rodrigues_to_z
+    from pct_tpu.fit.moments import (
+        neighborhood_moments,
+        rotated_moments,
+        rotated_moments_symbolic,
+    )
+
+    rng = np.random.default_rng(5)
+    centered = jnp.asarray(rng.standard_normal((32, 12, 3)).astype(np.float32))
+    w = jnp.asarray((rng.random((32, 12)) < 0.8).astype(np.float32))
+    sigma = jnp.linalg.norm(centered, axis=-1).max(-1)
+    m = neighborhood_moments(centered, w, sigma)
+    nrm = rng.standard_normal((32, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    R = rodrigues_to_z(jnp.asarray(nrm))
+    S_t = rotated_moments(m, R)
+    S_s = rotated_moments_symbolic(m, R)
+    assert set(S_t) == set(S_s)
+    for key in S_s:
+        np.testing.assert_allclose(np.asarray(S_t[key]),
+                                   np.asarray(S_s[key]),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(key))

@@ -148,12 +148,19 @@ def rotated_moments(m: jax.Array, R: jax.Array) -> dict:
     matmuls default to bf16 passes)."""
     hi = jax.lax.Precision.HIGHEST
     M1, M2, M3, M4 = _moment_tensors(m)
+    # contract ONE R factor at a time: a joint einsum lets XLA build the
+    # R⊗R⊗R⊗R outer product (6561·n floats — 27 GB at 1M points); the
+    # stepwise form's largest intermediate is the 81·n tensor itself
     S1 = jnp.einsum("...ai,...i->...a", R, M1, precision=hi)
-    S2 = jnp.einsum("...ai,...bj,...ij->...ab", R, R, M2, precision=hi)
-    S3 = jnp.einsum("...ai,...bj,...ck,...ijk->...abc", R, R, R, M3,
-                    precision=hi)
-    S4 = jnp.einsum("...ai,...bj,...ck,...dl,...ijkl->...abcd", R, R, R, R,
-                    M4, precision=hi)
+    t2 = jnp.einsum("...bj,...ij->...ib", R, M2, precision=hi)
+    S2 = jnp.einsum("...ai,...ib->...ab", R, t2, precision=hi)
+    t3 = jnp.einsum("...ck,...ijk->...ijc", R, M3, precision=hi)
+    t3 = jnp.einsum("...bj,...ijc->...ibc", R, t3, precision=hi)
+    S3 = jnp.einsum("...ai,...ibc->...abc", R, t3, precision=hi)
+    t4 = jnp.einsum("...dl,...ijkl->...ijkd", R, M4, precision=hi)
+    t4 = jnp.einsum("...ck,...ijkd->...ijcd", R, t4, precision=hi)
+    t4 = jnp.einsum("...bj,...ijcd->...ibcd", R, t4, precision=hi)
+    S4 = jnp.einsum("...ai,...ibcd->...abcd", R, t4, precision=hi)
     S = {(0, 0, 0): m[..., _IDX[(0, 0, 0)]]}
 
     def pick(t, axes):

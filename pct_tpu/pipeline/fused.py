@@ -139,7 +139,8 @@ def fused_curvature(
         # ONE moment->curvature pass over the flat scattered stats (the
         # symbolic moment rotation is ~5k HLO ops; instantiating it
         # inside every per-bucket lax.map body made the 1M XLA compile
-        # pathologically slow)
+        # pathologically slow; the stepwise-contraction rotated_moments
+        # bounds intermediates at 81·n floats, so no chunking is needed)
         from pct_tpu.fit.moments import curvature_from_moments
 
         stats = out
@@ -150,6 +151,31 @@ def fused_curvature(
         curv, normals = out
     return FusedResult(curv=curv, normals=normals, exact=exact,
                        kth_dist=kth)
+
+
+def _prime_moment_kernels(dtype, spec, max_cells, k: int):
+    """Pre-compile each bucket's moment kernel standalone at its exact
+    in-program shapes (zeros inputs, seconds each). Empirically the same
+    kernels compiled INSIDE the 1M whole-program XLA compile never
+    finish (>50 min, reproduced 4x), while a program whose kernels were
+    already compiled in-process finishes in ~30 s — the Mosaic compile
+    inside XLA's custom-call lowering appears to bypass its own cache
+    only when cold."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return
+    from pct_tpu.ops.pallas_moments import knn_moments
+
+    for sp in spec:
+        t_cells = sp.max_cells
+        m = 9 * sp.run_cap
+        z3 = jnp.zeros((t_cells, sp.capacity, 3), dtype)
+        c3 = jnp.zeros((t_cells, m, 3), dtype)
+        icand = jnp.full((t_cells, m), -2, jnp.int32)
+        irow = jnp.full((t_cells, sp.capacity), -1, jnp.int32)
+        ival = jnp.zeros((t_cells, m), jnp.int32)
+        knn_moments(z3, c3, icand, irow, ival, k).block_until_ready()
 
 
 def fast_curvature(cloud, k: int = 20, method: str = "explicit",
@@ -196,6 +222,7 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
                 implicit_mode=implicit_mode)
             return FusedResult(curv=curv, normals=normals, exact=res.exact,
                                kth_dist=res.dists[:, -1])
+        _prime_moment_kernels(cloud.points.dtype, spec, mc, k)
         return fused_curvature(cloud.points, cloud.num_points, cell, k=k,
                                max_cells=mc, bucket_spec=spec,
                                method=method, engine="moments")

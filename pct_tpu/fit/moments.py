@@ -269,6 +269,38 @@ def covariance_from_moments(m: jax.Array) -> jax.Array:
     ], axis=-2)
 
 
+def curvature_from_moments_chunked(m: jax.Array, sigma: jax.Array,
+                                   nearest: jax.Array, kth_pt: jax.Array,
+                                   chunk: int = 16384):
+    """``curvature_from_moments`` in N-chunks via ``lax.map``.
+
+    The rotation contraction's intermediates carry trailing (3,...,3)
+    dims that XLA's TPU layout tiles to (4,128) — a 57× inflation that
+    materialized the (N,3,3,3,3) M4 tensor at 19.3 GB for N=1M and
+    OOM'd the 16 GB HBM (round-2 bench failure). Chunking bounds every
+    such buffer to ~chunk·9·512·4 B ≈ 300 MB at the default chunk while
+    tracing the body once; results match the unchunked call up to
+    fusion-order FP rounding (pad rows are dropped).
+    """
+    n = m.shape[0]
+    if n <= chunk:
+        return curvature_from_moments(m, sigma, nearest, kth_pt)
+    pad = (-n) % chunk
+
+    def part(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
+            (-1, chunk) + a.shape[1:])
+
+    curv, nrm = jax.lax.map(
+        lambda args: curvature_from_moments(*args),
+        (part(m), part(sigma), part(nearest), part(kth_pt)))
+
+    def unpart(a):
+        return a.reshape((-1,) + a.shape[2:])[:n]
+
+    return jax.tree_util.tree_map(unpart, curv), unpart(nrm)
+
+
 def curvature_from_moments(m: jax.Array, sigma: jax.Array,
                            nearest: jax.Array, kth_pt: jax.Array):
     """Moments → (Curvatures, normals): the same chain as

@@ -69,7 +69,7 @@ def _curvature_of_neighborhoods(centered, method, implicit_mode):
 @partial(jax.jit, static_argnames=("k", "capacity", "max_cells", "tile_cells",
                                    "run_cap", "method", "implicit_mode",
                                    "bucket_spec", "engine"))
-def fused_curvature(
+def _fused_curvature_jit(
     points: jax.Array,
     num_points: jax.Array,
     cell_size: jax.Array,
@@ -139,12 +139,13 @@ def fused_curvature(
         # ONE moment->curvature pass over the flat scattered stats (the
         # symbolic moment rotation is ~5k HLO ops; instantiating it
         # inside every per-bucket lax.map body made the 1M XLA compile
-        # pathologically slow; the stepwise-contraction rotated_moments
-        # bounds intermediates at 81·n floats, so no chunking is needed)
-        from pct_tpu.fit.moments import curvature_from_moments
+        # pathologically slow). Chunked over N: the rotation
+        # contraction's (·,3,3,3,3) intermediates tile to (4,128) on
+        # TPU — unchunked, M4 alone is 19.3 GB at 1M (round-2 OOM).
+        from pct_tpu.fit.moments import curvature_from_moments_chunked
 
         stats = out
-        curv, normals = curvature_from_moments(
+        curv, normals = curvature_from_moments_chunked(
             stats[..., :35], stats[..., 38], stats[..., 39:42],
             stats[..., 42:45])
     else:
@@ -153,17 +154,25 @@ def fused_curvature(
                        kth_dist=kth)
 
 
-def _prime_moment_kernels(dtype, spec, max_cells, k: int):
+_MOMENT_PRIMED: set = set()
+
+
+def _prime_moment_kernels(dtype, spec, k: int):
     """Pre-compile each bucket's moment kernel standalone at its exact
     in-program shapes (zeros inputs, seconds each). Empirically the same
     kernels compiled INSIDE the 1M whole-program XLA compile never
     finish (>50 min, reproduced 4x), while a program whose kernels were
     already compiled in-process finishes in ~30 s — the Mosaic compile
     inside XLA's custom-call lowering appears to bypass its own cache
-    only when cold."""
+    only when cold. Called automatically by ``fused_curvature`` for the
+    moments engine (memoized per (dtype, spec, k)); no-op on CPU, where
+    the XLA fallback path runs instead."""
     import jax
 
     if jax.default_backend() == "cpu":
+        return
+    key = (jnp.dtype(dtype).name, tuple(spec), int(k))
+    if key in _MOMENT_PRIMED:
         return
     from pct_tpu.ops.pallas_moments import knn_moments
 
@@ -176,6 +185,40 @@ def _prime_moment_kernels(dtype, spec, max_cells, k: int):
         irow = jnp.full((t_cells, sp.capacity), -1, jnp.int32)
         ival = jnp.zeros((t_cells, m), jnp.int32)
         knn_moments(z3, c3, icand, irow, ival, k).block_until_ready()
+    _MOMENT_PRIMED.add(key)
+
+
+def fused_curvature(
+    points: jax.Array,
+    num_points: jax.Array,
+    cell_size: jax.Array,
+    k: int = 20,
+    capacity: int | None = None,
+    max_cells: int | None = None,
+    tile_cells: int = 128,
+    run_cap: int | None = None,
+    method: str = "explicit",
+    implicit_mode: str = "exact",
+    bucket_spec: tuple | None = None,
+    engine: str = "list",
+) -> FusedResult:
+    """Public entry for the single-jit fused pipeline.
+
+    Thin dispatch over the jitted implementation: for the moments
+    engine on real TPUs it first pre-compiles each bucket's Pallas
+    moment kernel standalone (memoized — see ``_prime_moment_kernels``;
+    a cold Mosaic compile inside the 1M whole-program XLA compile never
+    finishes), so calling ``fused_curvature(engine="moments")``
+    directly is always safe. See ``_fused_curvature_jit`` for the
+    argument contract.
+    """
+    if engine == "moments" and bucket_spec is not None:
+        _prime_moment_kernels(points.dtype, bucket_spec, k)
+    return _fused_curvature_jit(
+        points, num_points, cell_size, k=k, capacity=capacity,
+        max_cells=max_cells, tile_cells=tile_cells, run_cap=run_cap,
+        method=method, implicit_mode=implicit_mode,
+        bucket_spec=bucket_spec, engine=engine)
 
 
 def fast_curvature(cloud, k: int = 20, method: str = "explicit",
@@ -222,7 +265,6 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
                 implicit_mode=implicit_mode)
             return FusedResult(curv=curv, normals=normals, exact=res.exact,
                                kth_dist=res.dists[:, -1])
-        _prime_moment_kernels(cloud.points.dtype, spec, mc, k)
         return fused_curvature(cloud.points, cloud.num_points, cell, k=k,
                                max_cells=mc, bucket_spec=spec,
                                method=method, engine="moments")

@@ -30,7 +30,7 @@ from pct_tpu.mesh.boundary import fill_small_holes
 from pct_tpu.mesh.energies import MeshEnergies, mesh_energies
 from pct_tpu.mesh.reconstruct import bpa_radii, ball_pivoting, cleanup_mesh
 from pct_tpu.mesh.smooth import taubin_smooth
-from pct_tpu.pipeline.curvature_pipeline import curvature_pipeline
+from pct_tpu.pipeline.fused import fast_curvature
 
 
 @dataclasses.dataclass
@@ -47,23 +47,30 @@ class MeshResult:
 def create_mesh_with_curvature(
     points: np.ndarray,
     k_neighbors: int = 20,
-    num_radii: int = 8,
+    num_radii: Optional[int] = None,
     smooth_iterations: int = 10,
     fill_holes: bool = True,
     save_mesh_path: Optional[str] = None,
 ) -> MeshResult:
+    """``num_radii=None`` (default) uses the spread-aware adaptive
+    ladder (``bpa_radii_adaptive`` — up to the reference's 25 rungs on
+    high-spacing-spread clouds, utils.py:441-470); pass an int for the
+    fixed geometric ladder."""
     points = np.asarray(points, dtype=np.float32)
     cloud = from_numpy(points)
     n = int(cloud.num_points)
 
     from pct_tpu.mesh.normals import estimate_and_orient_normals
-    from pct_tpu.neighbors.bruteforce import mean_nn_distance
+    from pct_tpu.mesh.reconstruct import bpa_radii_adaptive
+    from pct_tpu.neighbors.bruteforce import sampled_nn_distances
 
     normals = np.asarray(estimate_and_orient_normals(
         cloud, k=min(50, max(4, n - 1))))[:n]
-    dbar = float(mean_nn_distance(cloud.points, cloud.num_points))
-    faces = cleanup_mesh(ball_pivoting(points, normals,
-                                       bpa_radii(dbar, num_radii),
+    nn_d = np.asarray(sampled_nn_distances(cloud.points, cloud.num_points))
+    dbar = float(np.nanmean(nn_d))
+    radii = (bpa_radii_adaptive(nn_d) if num_radii is None
+             else bpa_radii(dbar, num_radii))
+    faces = cleanup_mesh(ball_pivoting(points, normals, radii,
                                        degeneracy_jitter=0.01,
                                        mean_spacing=dbar))
 
@@ -94,9 +101,12 @@ def create_mesh_with_curvature(
         faces = cleanup_mesh(faces.astype(np.int32))
 
     # curvature on the (smoothed) mesh vertices — reference semantics:
-    # a fresh PointCloud over the mesh vertices (utils.py:481-501)
+    # a fresh PointCloud over the mesh vertices (utils.py:481-501, k=100
+    # fits on mesh vertices at :484). fast_curvature routes large k
+    # through the moments engine — the scans-class k=100 protocol runs
+    # the fast path, not the staged pipeline.
     vcloud = from_numpy(verts)
-    r = curvature_pipeline(vcloud, k=k_neighbors)
+    r = fast_curvature(vcloud, k=k_neighbors)
     K = np.asarray(r.curv.K)[:n]
     H = np.asarray(r.curv.H)[:n]
 

@@ -126,6 +126,40 @@ def test_fused_moments_engine_matches_staged_large_k():
     np.testing.assert_allclose(K_f, K_m, rtol=1e-4, atol=1e-6)
 
 
+def test_chunked_epilogue_matches_unchunked():
+    """curvature_from_moments_chunked must match the unchunked call
+    across chunk boundaries (incl. a non-dividing chunk size — pad rows
+    are dropped). Tight tolerance, not bitwise: XLA fuses the chunked
+    map body differently, changing FP rounding order. This is the guard
+    for the round-2 OOM fix: the epilogue runs in N-chunks on device."""
+    from pct_tpu.fit.moments import (
+        curvature_from_moments,
+        curvature_from_moments_chunked,
+    )
+
+    pts, _ = generate_shape("torus", 1000, radius=1.0)
+    cloud = from_numpy(pts)
+    k = 20
+    import jax.numpy as jnp
+
+    res, _ = knn_cloud_grid(cloud, k)
+    centered = cloud.points[res.indices] - cloud.points[:, None, :]
+    weights = res.valid.astype(jnp.float32)
+    sigma = res.dists[:, k - 1]
+    from pct_tpu.fit.moments import neighborhood_moments
+
+    m = neighborhood_moments(centered, weights, sigma)
+    full = curvature_from_moments(m, sigma, centered[:, 0, :],
+                                  centered[:, k - 1, :])
+    chunked = curvature_from_moments_chunked(
+        m, sigma, centered[:, 0, :], centered[:, k - 1, :], chunk=96)
+    for a, b in zip(full[0], chunked[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(full[1]), np.asarray(chunked[1]),
+                               rtol=1e-3, atol=1e-4, equal_nan=True)
+
+
 def test_rotated_moments_tensor_matches_symbolic():
     """The einsum-contraction rotated_moments must equal the symbolic
     per-term expansion (the latter is the mathematical definition; the

@@ -81,18 +81,8 @@ def knn_cloud(cloud: PointCloud, k: int, tile: int = 2048):
     return knn_bruteforce(cloud.points, cloud.num_points, k, tile=tile)
 
 
-@partial(jax.jit, static_argnames=("sample", "chunk"))
-def mean_nn_distance(
-    points: jax.Array, num_points: jax.Array, sample: int = 1024, chunk: int = 16384
-) -> jax.Array:
-    """Mean nearest-neighbor distance over a deterministic sample.
-
-    TPU replacement of ref utils.py:441-470 ``average_distance_using_kd_tree``
-    (sample ≤1000 points, scipy KDTree k=2 → mean 1-NN distance); used to
-    set grid cell sizes and BPA-style radii. Runs as a running-min fold
-    over point chunks so the (sample × N) distance matrix never
-    materializes.
-    """
+def _sampled_nn_fold(points, num_points, sample, chunk):
+    """Shared fold: (best (sample,) 1-NN distances, valid_s (sample,))."""
     n = points.shape[0]
     stride = jnp.maximum(num_points // sample, 1)
     sidx = (jnp.arange(sample, dtype=jnp.int32) * stride) % jnp.maximum(num_points, 1)
@@ -116,5 +106,37 @@ def mean_nn_distance(
     vchunks = base_valid.reshape(-1, chunk)
     gi = jnp.arange(n + pad, dtype=jnp.int32).reshape(-1, chunk)
     best, _ = jax.lax.scan(body, jnp.full((sample,), jnp.inf), (chunks, vchunks, gi))
-    best = jnp.where(valid_s, jnp.sqrt(best), 0.0)
+    return jnp.sqrt(best), valid_s
+
+
+@partial(jax.jit, static_argnames=("sample", "chunk"))
+def mean_nn_distance(
+    points: jax.Array, num_points: jax.Array, sample: int = 1024, chunk: int = 16384
+) -> jax.Array:
+    """Mean nearest-neighbor distance over a deterministic sample.
+
+    TPU replacement of ref utils.py:441-470 ``average_distance_using_kd_tree``
+    (sample ≤1000 points, scipy KDTree k=2 → mean 1-NN distance); used to
+    set grid cell sizes and BPA-style radii. Runs as a running-min fold
+    over point chunks so the (sample × N) distance matrix never
+    materializes.
+    """
+    best, valid_s = _sampled_nn_fold(points, num_points, sample, chunk)
+    best = jnp.where(valid_s, best, 0.0)
     return jnp.sum(best) / jnp.maximum(jnp.sum(valid_s), 1)
+
+
+@partial(jax.jit, static_argnames=("sample", "chunk"))
+def sampled_nn_distances(
+    points: jax.Array, num_points: jax.Array, sample: int = 1024, chunk: int = 16384
+) -> jax.Array:
+    """(sample,) per-point 1-NN distances over the same deterministic
+    stride sample as ``mean_nn_distance``; invalid sample rows carry NaN.
+
+    The DISTRIBUTION (not just the mean) is what spacing-spread-aware
+    consumers need: dupin-cyclide-class clouds have ~20× spacing spread,
+    and a radii ladder derived from the mean alone leaves the sparse
+    side unreconstructed (the reference's 25-rung linspace over
+    [0.025·d̄, 5·d̄], utils.py:468, exists for exactly this)."""
+    best, valid_s = _sampled_nn_fold(points, num_points, sample, chunk)
+    return jnp.where(valid_s, best, jnp.nan)

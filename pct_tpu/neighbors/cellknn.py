@@ -365,6 +365,99 @@ def knn_cellwise(
     return NeighborResult(out_idx, out_d, out_f, out_e)
 
 
+@partial(jax.jit, static_argnames=("k", "tile_cells", "original_ids", "lean",
+                                   "select_impl", "bucket_spec"))
+def knn_cellwise_bucketed(
+    grid: GridIndex,
+    cells: CellTable,
+    k: int,
+    bucket_spec: tuple,
+    tile_cells: int = 128,
+    original_ids: bool = True,
+    lean: bool = False,
+    select_impl: str | None = None,
+) -> NeighborResult:
+    """``knn_cellwise`` over occupancy-bucketed cells (library kNN fast
+    path): each bucket runs the rows-emitting select kernel with its own
+    (capacity, run_cap) statics, so select/gather padding tracks each
+    cell's actual size instead of the global maximum — the same lever
+    that makes the fused curvature path fast. The final reorder stays a
+    GATHER (TPU scatter of (N,k) rows costs ~1 s/1M): each sorted row
+    computes its source as bucket-offset + member-rank·capacity + slot.
+    """
+    if select_impl is None:
+        select_impl = default_select_impl()
+    n = grid.sorted_points.shape[0]
+    mc_total = cells.cell_id.shape[0]
+
+    idxs, dsts, exacts = [], [], []
+    padded_cells = []          # per bucket: cells incl. tile padding (static)
+    for sp, tile_args, impl_b in bucketed_tile_args(
+            grid, cells, bucket_spec, tile_cells, select_impl):
+
+        def one_tile(args, sp=sp, impl_b=impl_b):
+            rows, dists, found, _, _, _, qrow, ok_q, exact = _tile_select(
+                grid, args, k, sp.capacity, sp.run_cap, impl_b, want="rows")
+            del found  # validity is re-derived from the distances below
+            idx_orig = grid.order[rows] if original_ids else rows
+            return idx_orig, dists, exact & ok_q
+
+        idx_b, d_b, e_b = jax.lax.map(one_tile, tile_args)
+        padded_cells.append(idx_b.shape[0] * idx_b.shape[1])
+        flat = lambda a: a.reshape((-1,) + a.shape[3:])
+        idxs.append(flat(idx_b))
+        dsts.append(flat(d_b))
+        exacts.append(flat(e_b))
+
+    # --- per-cell source map: bucket membership replayed exactly as
+    # _bucket_tables partitions (same key, same thresholds, same rank) ---
+    _, run_len_a = _runs_table(grid, cells)
+    maxrun = jnp.max(run_len_a, axis=1)
+    key = jnp.maximum(cells.count, (maxrun + 2) // 3)
+    valid = cells.cell_id != PAD_ID
+    nb = len(bucket_spec)
+    cell_base = jnp.zeros((mc_total,), jnp.int32)
+    cell_cap = jnp.zeros((mc_total,), jnp.int32)
+    cell_in = jnp.zeros((mc_total,), bool)
+    lo = 0
+    off = 0
+    for b, sp in enumerate(bucket_spec):
+        member = valid & (key > lo)
+        if b < nb - 1:
+            member = member & (key <= sp.hi_key)
+        rank_b = jnp.cumsum(member.astype(jnp.int32)) - 1
+        inside = member & (rank_b < sp.max_cells)
+        cell_base = jnp.where(inside, off + rank_b * sp.capacity, cell_base)
+        cell_cap = jnp.where(inside, sp.capacity, cell_cap)
+        cell_in = cell_in | inside
+        lo = sp.hi_key
+        off += padded_cells[b] * sp.capacity
+
+    # --- per-row gather reorder (see knn_cellwise epilogue) ---
+    ids = grid.sorted_ids
+    prev = jnp.concatenate([jnp.full((1,), -1, ids.dtype), ids[:-1]])
+    is_first = (ids != prev) & (ids != PAD_ID)
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1          # (n,)
+    rank_c = jnp.minimum(rank, mc_total - 1)
+    slot_r = jnp.arange(n, dtype=jnp.int32) - cells.start[rank_c]
+    covered = ((ids != PAD_ID) & (rank < mc_total) & cell_in[rank_c]
+               & (slot_r >= 0) & (slot_r < cell_cap[rank_c]))
+    src = jnp.where(covered, cell_base[rank_c] + slot_r, 0)
+
+    idx_all = jnp.concatenate(idxs)
+    d_all = jnp.concatenate(dsts)
+    e_all = jnp.concatenate(exacts)
+    out_idx = jnp.where(covered[:, None], idx_all[src], 0)
+    out_e = covered & e_all[src] & (~cells.overflow)
+    if lean:
+        kth = jnp.where(covered, d_all[src, k - 1], 0.0)
+        return NeighborResult(out_idx, kth[:, None], None, out_e)
+    d_src = d_all[src]
+    out_d = jnp.where(covered[:, None], d_src, 0.0)
+    out_f = covered[:, None] & (d_src < 1e18)
+    return NeighborResult(out_idx, out_d, out_f, out_e)
+
+
 def moments_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
                         select_impl: str, fn=None):
     """Large-k tile body: moment accumulation instead of top-k selection.
@@ -780,7 +873,11 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
         if m <= 0:
             return 0.0, None
         cap = min(r8(cmax_pre[hi_i - 1]), capacity_cap)
-        rc = min(r8(rmax_pre[hi_i - 1]), 3 * cap)
+        # run_cap must cover the bucket's true max run — a 3·cap clip is
+        # invalid across buckets (a low-count cell bordering a dense cell
+        # has a long run but lands in a small-capacity bucket; clipping
+        # flagged it overflowed and voided its exactness certificate)
+        rc = r8(rmax_pre[hi_i - 1])
         size = ((m + unit - 1) // unit) * unit
         cost = float(size) * cap * (9 * rc + 32)
         hi_key = int(key_s[hi_i - 1])
@@ -819,3 +916,14 @@ def knn_all_points_auto(grid: GridIndex, k: int, tile_cells: int = 128
     cells, capacity, _, run_cap = probe_grid(grid, tile_cells)
     return knn_cellwise(grid, cells, k, capacity=capacity,
                         tile_cells=tile_cells, run_cap=run_cap)
+
+
+def knn_all_points_auto_bucketed(grid: GridIndex, k: int,
+                                 tile_cells: int = 128) -> NeighborResult:
+    """Self-kNN with host-probed occupancy buckets: per-bucket statics
+    keep select/gather padding proportional to each cell's size — the
+    library-kNN counterpart of the fused pipeline's bucketed layout."""
+    spec, mc = probe_grid_buckets(grid, tile_cells)
+    cells = compact_cells(grid, mc)
+    return knn_cellwise_bucketed(grid, cells, k, tuple(spec),
+                                 tile_cells=tile_cells)

@@ -187,7 +187,10 @@ def knn_cloud_grid(cloud, k: int, capacity: int | None = None, rings: int = 1,
     """
     from pct_tpu.neighbors.bruteforce import knn_bruteforce
 
-    from pct_tpu.neighbors.cellknn import knn_all_points, knn_all_points_auto
+    from pct_tpu.neighbors.cellknn import (
+        knn_all_points,
+        knn_all_points_auto_bucketed,
+    )
 
     if cell_size is None:
         cell_size = estimate_cell_size(cloud.points, cloud.num_points, k)
@@ -202,7 +205,7 @@ def knn_cloud_grid(cloud, k: int, capacity: int | None = None, rings: int = 1,
         # explicit capacity: caller bounds memory; skip the auto probe
         res = knn_all_points(grid, k, capacity=capacity)
     else:
-        res = knn_all_points_auto(grid, k)
+        res = knn_all_points_auto_bucketed(grid, k)
     inv = jnp.zeros_like(grid.order).at[grid.order].set(
         jnp.arange(grid.order.shape[0], dtype=jnp.int32)
     )

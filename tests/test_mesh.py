@@ -249,12 +249,14 @@ def test_mesh_pipeline_dupin_cyclide():
 
     pts, _ = generate_shape("dupin_cyclide", 8000, radius=1.0)
     m = create_mesh_with_curvature(pts, k_neighbors=20)
-    # the cyclide's ~20x nearest-neighbor-distance spread is a known BPA
-    # stressor (fixed radii ladder): the mesh stays partial (~1.5 F/V
-    # instead of 2) — the pipeline must still complete with finite
-    # energies; the Gauss-Bonnet residual is dominated by the missing
-    # high-curvature horn area, so only a loose bound is meaningful
-    assert len(m.faces) > 1.3 * len(pts)
+    # the cyclide's ~5-20x nearest-neighbor-distance spread is a known
+    # BPA stressor: the spread-aware adaptive radii ladder
+    # (bpa_radii_adaptive) lifts coverage to F/V ≈ 1.6 (fixed 8-rung
+    # ladder: 1.50) but the mesh stays partial (closed would be 2) —
+    # the pipeline must still complete with finite energies; the
+    # Gauss-Bonnet residual is dominated by the missing high-curvature
+    # horn area, so only a loose bound is meaningful
+    assert len(m.faces) > 1.5 * len(pts)
     areas = np.asarray(triangle_areas(jnp.asarray(m.vertices),
                                       jnp.asarray(m.faces)))
     K_f = np.nanmean(m.K[m.faces], axis=1)

@@ -82,6 +82,59 @@ def test_grid_knn_nonuniform_density(rng):
                                rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.parametrize("lean", [False, True])
+def test_knn_cellwise_bucketed_matches_single(lean):
+    """Bucketed library kNN (per-bucket statics + gather reorder) must
+    reproduce the single-bucket cell-centric results exactly: same
+    winners, same distances, same certificates."""
+    from pct_tpu.neighbors.cellknn import (
+        compact_cells,
+        knn_cellwise,
+        knn_cellwise_bucketed,
+        probe_grid,
+        probe_grid_buckets,
+    )
+
+    rng = np.random.default_rng(9)
+    # nonuniform density -> multiple occupancy buckets
+    a, _ = generate_shape("torus", 3000, radius=1.0)
+    b = rng.standard_normal((1000, 3)).astype(np.float32) * 0.05
+    pts = np.concatenate([a, b]).astype(np.float32)
+    cloud = from_numpy(pts)
+    n = pts.shape[0]
+    k = 12
+    cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    cells_t, cap, mc, rc = probe_grid(grid)
+    spec, mcb = probe_grid_buckets(grid)
+    assert len(spec) > 1, "fixture must exercise multiple buckets"
+    cells_b = compact_cells(grid, mcb)
+    single = knn_cellwise(grid, cells_t, k, capacity=cap, run_cap=rc,
+                          lean=lean)
+    buck = knn_cellwise_bucketed(grid, cells_b, k, tuple(spec), lean=lean)
+    np.testing.assert_array_equal(np.asarray(buck.indices)[:n],
+                                  np.asarray(single.indices)[:n])
+    np.testing.assert_array_equal(np.asarray(buck.dists)[:n],
+                                  np.asarray(single.dists)[:n])
+    # certificates agree row-for-row (the dense blob exceeds capacity_cap
+    # by design — BOTH paths must flag exactly those rows for repair)
+    np.testing.assert_array_equal(np.asarray(buck.exact)[:n],
+                                  np.asarray(single.exact)[:n])
+    assert np.asarray(buck.exact)[:n].mean() > 0.9
+    if not lean:
+        np.testing.assert_array_equal(np.asarray(buck.valid)[:n],
+                                      np.asarray(single.valid)[:n])
+        # oracle: brute force distances. knn_cellwise rows are in SORTED
+        # order (documented contract) — map through grid.order; only
+        # certified rows are exact by construction
+        bi, bd = knn_cloud(cloud, k=k)
+        order = np.asarray(grid.order)[:n]
+        e = np.asarray(buck.exact)[:n]
+        np.testing.assert_allclose(np.asarray(buck.dists)[:n][e],
+                                   np.asarray(bd)[order][e],
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_grid_query_external_points():
     pts, _ = generate_shape("torus", 3000, radius=1.0)
     cloud = from_numpy(pts)

@@ -175,12 +175,25 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     return tile_args, tile_cells, select_impl
 
 
-def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int):
+def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int,
+                     with_ids: bool = False):
     """Candidate fetch + coverage radius for one tile of the cell loop.
 
     Returns (cand (T,M) sorted rows, ok_cand (T,M), cpts (T,M,3),
     qpts (T,C,3), qrow (T,C), ok_q (T,C), cover (T,C) guaranteed
     coverage radius, run_overflow (T,), coords (T,3) cell coords).
+
+    ``with_ids``: ``cand`` carries the candidates' ORIGINAL point ids
+    instead of sorted rows, fetched in the SAME row gather as the
+    coordinates (a packed (n,4) array with grid.order in the 4th float
+    column). The separate per-winner `grid.order[rows]` gather — (N,k)
+    random elements, measured 0.9 s/1M vs +0.05 s for the wider rows
+    here — never happens. Self-exclusion against original ids is
+    equivalent (ids are unique). The id column is a NUMERIC f32 cast,
+    exact for ids < 2^24 — a bitcast would put small ids in the
+    denormal range, which TPU vector ops flush to zero (measured:
+    corrupted winners); clouds beyond 2^24 rows take the plain
+    per-winner gather instead (callers guard).
     """
     n = grid.sorted_points.shape[0]
     dims = grid.dims
@@ -194,11 +207,23 @@ def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int):
     ok_cand = slot[None, None, :] < run_len[..., None]
     cand = cand.reshape(T, 9 * run_cap)
     ok_cand = ok_cand.reshape(T, 9 * run_cap)
-    cpts = grid.sorted_points[cand]                          # (T, M, 3)
     qrow = jnp.minimum(start[:, None] + jnp.arange(capacity,
                                                    dtype=jnp.int32), n - 1)
     ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
-    qpts = grid.sorted_points[qrow]                          # (T, C, 3)
+    if with_ids:
+        packed = jnp.concatenate(
+            [grid.sorted_points,
+             grid.order.astype(jnp.float32)[:, None]], axis=1)   # (n, 4)
+        g = packed[cand]                                     # (T, M, 4)
+        cpts = g[..., :3]
+        cand = g[..., 3].astype(jnp.int32)
+        qrow_ids = grid.order[qrow]                          # (T, C): ~n/occ
+        qpts = grid.sorted_points[qrow]
+        qrow_out = qrow_ids
+    else:
+        cpts = grid.sorted_points[cand]                      # (T, M, 3)
+        qpts = grid.sorted_points[qrow]                      # (T, C, 3)
+        qrow_out = qrow
     # --- per-query coverage radius within the 3³ window ---
     coords = jnp.stack([ix, iy, iz], axis=-1)                # (T, 3)
     lo_edge = grid.origin[None, :] + (coords - 1).astype(jnp.float32) \
@@ -210,11 +235,13 @@ def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int):
     right = jnp.where((coords + 1 >= dims - 1)[:, None, :], inf,
                       hi_edge[:, None, :] - qpts)
     cover = jnp.minimum(jnp.min(left, axis=-1), jnp.min(right, axis=-1))
-    return cand, ok_cand, cpts, qpts, qrow, ok_q, cover, run_overflow, coords
+    return (cand, ok_cand, cpts, qpts, qrow_out, ok_q, cover, run_overflow,
+            coords)
 
 
 def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
-                 select_impl: str, want: str = "pos"):
+                 select_impl: str, want: str = "pos",
+                 with_ids: bool = False):
     """One tile of the cell loop: candidate fetch + fused k-selection.
 
     Returns (win, dists (T,C,k) ascending, found (T,C,k), cand (T,M)
@@ -223,7 +250,9 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
     certificate), where ``win`` depends on ``want``:
 
     - "pos":    (T,C,k) winner positions in the M candidate axis
-    - "rows":   (T,C,k) winner GLOBAL sorted-row ids (== cand[pos])
+    - "rows":   (T,C,k) winner GLOBAL sorted-row ids (== cand[pos]);
+                with ``with_ids`` these are ORIGINAL point ids, fetched
+                inside the candidate row gather (see _tile_candidates)
     - "coords": (T,C,k,3) winner coordinates (== cpts[pos])
 
     For "rows"/"coords" the pallas path extracts the values inside the
@@ -234,7 +263,7 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
     """
     inf = jnp.float32(jnp.inf)
     cand, ok_cand, cpts, qpts, qrow, ok_q, cover, run_overflow, coords = \
-        _tile_candidates(grid, args, capacity, run_cap)
+        _tile_candidates(grid, args, capacity, run_cap, with_ids=with_ids)
     T = cand.shape[0]
     pos = None
     win = None
@@ -323,12 +352,19 @@ def knn_cellwise(
     tile_args, tile_cells, select_impl = _cellwise_setup(
         grid, cells, capacity, tile_cells, run_cap, select_impl)
 
+    use_ids = original_ids and n < (1 << 24)   # f32-exact id range
+
     def one_tile(args):
+        # with_ids: winners come out as ORIGINAL ids straight from the
+        # packed candidate gather — the (N,k) grid.order[rows] gather
+        # (measured 0.9 s/1M) never happens
         rows, dists, found, _, _, _, qrow, ok_q, exact = _tile_select(
-            grid, args, k, capacity, run_cap, select_impl, want="rows")
+            grid, args, k, capacity, run_cap, select_impl, want="rows",
+            with_ids=use_ids)
         del found      # validity is re-derived from the distances below
-        idx_orig = grid.order[rows] if original_ids else rows
-        return idx_orig, dists, exact & ok_q
+        if original_ids and not use_ids:
+            rows = grid.order[rows]
+        return rows, dists, exact & ok_q
 
     idx, dists, exact = jax.lax.map(one_tile, tile_args)
 
@@ -395,12 +431,18 @@ def knn_cellwise_bucketed(
     for sp, tile_args, impl_b in bucketed_tile_args(
             grid, cells, bucket_spec, tile_cells, select_impl):
 
-        def one_tile(args, sp=sp, impl_b=impl_b):
+        use_ids = original_ids and n < (1 << 24)   # f32-exact id range
+
+        def one_tile(args, sp=sp, impl_b=impl_b, use_ids=use_ids):
+            # with_ids: original ids from the packed candidate gather —
+            # no (N,k) grid.order[rows] gather (measured 0.9 s/1M)
             rows, dists, found, _, _, _, qrow, ok_q, exact = _tile_select(
-                grid, args, k, sp.capacity, sp.run_cap, impl_b, want="rows")
+                grid, args, k, sp.capacity, sp.run_cap, impl_b, want="rows",
+                with_ids=use_ids)
             del found  # validity is re-derived from the distances below
-            idx_orig = grid.order[rows] if original_ids else rows
-            return idx_orig, dists, exact & ok_q
+            if original_ids and not use_ids:
+                rows = grid.order[rows]
+            return rows, dists, exact & ok_q
 
         idx_b, d_b, e_b = jax.lax.map(one_tile, tile_args)
         padded_cells.append(idx_b.shape[0] * idx_b.shape[1])

@@ -10,6 +10,7 @@
 //
 // Exposed as a flat C ABI for ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -182,14 +183,37 @@ struct BPA {
     return it != edge_uses.end() && it->second == 1;
   }
 
-  // try to find a seed triangle among unused points
+  // try to find a seed triangle among unused points.
+  //
+  // seed_cursor: within one radius pass the seeding outcome for a point
+  // is static (positions/normals never change; state only transitions
+  // ORPHAN -> INSIDE), so a point that failed once fails for the rest
+  // of the pass — resume scanning where the last seed search stopped
+  // instead of from 0. Without this, S components cost O(S*n) rescans
+  // (measured: the 1M torus spent ~15 min mostly here).
+  int seed_cursor = 0;
+
   bool find_seed() {
-    for (int i = 0; i < (int)pts.size(); ++i) {
+    for (int& i = seed_cursor; i < (int)pts.size(); ++i) {
       if (state[i] != ORPHAN) continue;
       std::vector<int> cand;
       grid.for_neighbors(pts[i], 2 * r, [&](int idx) {
         if (idx != i && norm2(pts[idx] - pts[i]) < 4 * r * r) cand.push_back(idx);
       });
+      // a valid seed triangle has circumradius <= r, so its two other
+      // vertices are almost always among the nearest points; bound the
+      // O(|cand|^2) pair loop by trying the nearest pairs first (dense
+      // regions at the ladder's large radii otherwise see |cand| in the
+      // thousands)
+      constexpr size_t kSeedCap = 64;
+      if (cand.size() > kSeedCap) {
+        V3 pi = pts[i];
+        std::partial_sort(cand.begin(), cand.begin() + kSeedCap, cand.end(),
+                          [&](int x, int y) {
+                            return norm2(pts[x] - pi) < norm2(pts[y] - pi);
+                          });
+        cand.resize(kSeedCap);
+      }
       for (size_t a = 0; a < cand.size(); ++a) {
         for (size_t b = a + 1; b < cand.size(); ++b) {
           int j = cand[a], k = cand[b];
@@ -247,6 +271,7 @@ struct BPA {
 
   void run(float radius) {
     r = radius;
+    seed_cursor = 0;  // a larger ball can seed points that failed before
     grid.build(pts, std::max(radius, 1e-6f));
     // resume: re-activate open edges from earlier (smaller-radius) passes
     std::deque<Edge> carried = std::move(front);

@@ -62,6 +62,44 @@ def compact_cells(grid: GridIndex, max_cells: int) -> CellTable:
                      jnp.any(rank > max_cells - 1), jnp.max(count))
 
 
+@partial(jax.jit, static_argnames=("cap", "factor"))
+def split_cells(cells: CellTable, n: int, cap: int, factor: int) -> CellTable:
+    """Virtual-split cells with count > ``cap`` into <= ``factor`` table
+    rows of <= ``cap`` queries each (same cell_id, start offset by
+    j·cap), so the per-bucket CAPACITY static never exceeds ``cap``.
+
+    Mosaic's compile time for the cell-loop kernels blows up with the
+    query-axis static (measured: the bunny's k=100 single bucket at
+    capacity 272 never finished compiling; <= 128 compiles in seconds) —
+    a cell's queries don't need to share a kernel row block, only its
+    candidate runs do, and those are duplicated per virtual row.
+
+    Correctness: consumers are row-wise. The runs table searches
+    ``cell_id`` with side="left", so duplicate ids resolve to the first
+    copy, whose ``start`` is the cell's true run boundary; per-query
+    outputs scatter by ``qrow`` which stays disjoint across the virtual
+    rows; the coverage certificate depends only on the (unchanged) cell
+    coords. ``factor`` must be >= ceil(max_count / cap) — the probe that
+    sized the bucket spec supplies it.
+    """
+    j = jnp.arange(factor, dtype=jnp.int32)
+    cid = jnp.repeat(cells.cell_id, factor)        # adjacent copies: sorted
+    start = (cells.start[:, None] + j[None, :] * cap).reshape(-1)
+    count = jnp.clip(cells.count[:, None] - j[None, :] * cap, 0, cap
+                     ).reshape(-1)
+    valid = (cid != PAD_ID) & (count > 0)
+    out_mc = cells.cell_id.shape[0] * factor
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    slot = jnp.where(valid, rank, out_mc)
+
+    def sc(a, fill):
+        return jnp.full((out_mc,), fill, a.dtype).at[slot].set(a, mode="drop")
+
+    return CellTable(sc(cid, PAD_ID), sc(start, jnp.int32(n)), sc(count, 0),
+                     jnp.sum(valid.astype(jnp.int32)), cells.overflow,
+                     jnp.max(count))
+
+
 def _decode(cell_id):
     ix = cell_id % MAXDIM
     iy = (cell_id // MAXDIM) % MAXDIM
@@ -873,8 +911,8 @@ def _probe_maxrun(grid: GridIndex, cells: CellTable) -> jax.Array:
 
 def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
                        capacity_cap: int = 256, max_buckets: int = 3,
-                       size_unit: int | None = None
-                       ) -> tuple[tuple[BucketSpec, ...], int]:
+                       size_unit: int | None = None,
+                       split_to: int | None = None):
     """Host-side bucket tuning: one compaction + runs probe + one sync.
 
     Partitions occupied cells by size class key = max(count,
@@ -888,6 +926,13 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
 
     Returns (spec, max_cells_total) for apply_cellwise_bucketed /
     compact_cells.
+
+    ``split_to``: model cells as virtually split to <= split_to queries
+    per row (``split_cells``) and return (spec, max_cells_total, factor)
+    instead — the spec then never exceeds capacity ``split_to``; pass
+    the factor to ``split_cells`` (1 = no split needed). Used by the
+    moments engine, whose kernel compile time explodes beyond
+    capacity 128 on sparse clouds with big cells.
     """
     import numpy as np
 
@@ -896,6 +941,16 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
     num_cells = int(np.asarray(probe.num_cells))
     counts = np.asarray(probe.count)[:num_cells]
     maxrun = np.asarray(_probe_maxrun(grid, probe))[:num_cells]
+    factor = 1
+    num_cells_unsplit = num_cells
+    if split_to is not None and num_cells and counts.max() > split_to:
+        factor = int(-(-int(counts.max()) // split_to))
+        reps = -(-counts // split_to)
+        idx = np.repeat(np.arange(num_cells), reps)
+        within = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+        counts = np.minimum(counts[idx] - within * split_to, split_to)
+        maxrun = maxrun[idx]
+        num_cells = len(idx)
     key = np.maximum(counts, (maxrun + 2) // 3)
 
     order = np.argsort(key, kind="stable")
@@ -947,8 +1002,12 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
     spec = best[1] if best else (
         BucketSpec(hi_key=8, capacity=8, run_cap=24, max_cells=unit),)
 
-    mc = _round_up(max(num_cells, tile_cells), tile_cells)
+    # mc sizes compact_cells' UNSPLIT table (split_cells multiplies rows
+    # by the factor afterwards)
+    mc = _round_up(max(num_cells_unsplit, tile_cells), tile_cells)
     mc = min(1 << (mc - 1).bit_length(), _round_up(n, tile_cells))
+    if split_to is not None:
+        return spec, mc, factor
     return spec, mc
 
 

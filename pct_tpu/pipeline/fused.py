@@ -68,7 +68,7 @@ def _curvature_of_neighborhoods(centered, method, implicit_mode):
 
 @partial(jax.jit, static_argnames=("k", "capacity", "max_cells", "tile_cells",
                                    "run_cap", "method", "implicit_mode",
-                                   "bucket_spec", "engine"))
+                                   "bucket_spec", "engine", "split"))
 def _fused_curvature_jit(
     points: jax.Array,
     num_points: jax.Array,
@@ -82,6 +82,7 @@ def _fused_curvature_jit(
     implicit_mode: str = "exact",
     bucket_spec: tuple | None = None,
     engine: str = "list",
+    split: tuple | None = None,
 ) -> FusedResult:
     """One XLA program: everything from raw padded points to curvatures.
 
@@ -115,6 +116,13 @@ def _fused_curvature_jit(
         max_cells = default_max_cells(n, k, tile_cells)
     grid = build_grid(points, num_points, cell_size)
     cells = compact_cells(grid, max_cells)
+    if split is not None and split[1] > 1:
+        # virtual-split big cells so no bucket capacity exceeds split[0]
+        # (Mosaic compile blowup guard — see neighbors.cellknn.split_cells;
+        # bucket_spec must come from probe_grid_buckets(split_to=split[0]))
+        from pct_tpu.neighbors.cellknn import split_cells
+
+        cells = split_cells(cells, n, split[0], split[1])
 
     def fn(centered, found):
         del found  # parity: the reference uses all k slots unconditionally
@@ -201,6 +209,7 @@ def fused_curvature(
     implicit_mode: str = "exact",
     bucket_spec: tuple | None = None,
     engine: str = "list",
+    split: tuple | None = None,
 ) -> FusedResult:
     """Public entry for the single-jit fused pipeline.
 
@@ -218,7 +227,7 @@ def fused_curvature(
         points, num_points, cell_size, k=k, capacity=capacity,
         max_cells=max_cells, tile_cells=tile_cells, run_cap=run_cap,
         method=method, implicit_mode=implicit_mode,
-        bucket_spec=bucket_spec, engine=engine)
+        bucket_spec=bucket_spec, engine=engine, split=split)
 
 
 def fast_curvature(cloud, k: int = 20, method: str = "explicit",
@@ -244,12 +253,28 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
     from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
 
     cell = estimate_cell_size(cloud.points, cloud.num_points, k)
-    # capacity cap scales with k: at k=100 the auto cell size packs ~2k
-    # points/cell in dense regions; a too-low cap leaves overfull-cell
-    # rows uncovered (exact=False, zero outputs)
-    spec, mc = probe_grid_buckets(
-        build_grid(cloud.points, cloud.num_points, cell),
-        capacity_cap=max(256, 4 * k))
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+
+    def moments_route():
+        # capacity cap scales with k: at k=100 the auto cell size packs
+        # ~2k points/cell in dense regions; a too-low cap leaves
+        # overfull-cell rows uncovered (exact=False, zero outputs).
+        # split_to=128: sparse clouds (bunny) otherwise produce a single
+        # capacity-272 bucket whose Mosaic compile never finishes —
+        # virtual-split keeps every bucket in the seconds-class C <= 128
+        spec, mc, factor = probe_grid_buckets(
+            grid, capacity_cap=max(256, 4 * k), split_to=128)
+        return fused_curvature(cloud.points, cloud.num_points, cell, k=k,
+                               max_cells=mc, bucket_spec=spec,
+                               method=method, engine="moments",
+                               split=(128, factor))
+
+    if method == "explicit" and k >= 64:
+        # large k: the select kernel's O(k·M) unrolled rounds stop
+        # paying (runtime AND compile time) — always take the moments
+        # engine, not just when the select working set overflows
+        return moments_route()
+    spec, mc = probe_grid_buckets(grid, capacity_cap=max(256, 4 * k))
     select_ok = all(sp.capacity * 9 * sp.run_cap * 4 * 3 <= 10 << 20
                     for sp in spec)
     if not select_ok:
@@ -265,9 +290,7 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
                 implicit_mode=implicit_mode)
             return FusedResult(curv=curv, normals=normals, exact=res.exact,
                                kth_dist=res.dists[:, -1])
-        return fused_curvature(cloud.points, cloud.num_points, cell, k=k,
-                               max_cells=mc, bucket_spec=spec,
-                               method=method, engine="moments")
+        return moments_route()
     return fused_curvature(cloud.points, cloud.num_points, cell, k=k,
                            max_cells=mc, bucket_spec=spec, method=method,
                            implicit_mode=implicit_mode)

@@ -188,3 +188,72 @@ def test_rotated_moments_tensor_matches_symbolic():
         np.testing.assert_allclose(np.asarray(S_t[key]),
                                    np.asarray(S_s[key]),
                                    rtol=2e-5, atol=2e-5, err_msg=str(key))
+
+
+def test_split_cells_moments_matches_unsplit():
+    """Virtual cell splitting (Mosaic compile guard for capacity > 128,
+    neighbors.cellknn.split_cells) is a pure layout change: the split
+    and unsplit moments pipelines must agree exactly on certified rows,
+    and the split probe's spec must cap every bucket at split_to."""
+    from pct_tpu.neighbors.cellknn import probe_grid_buckets, split_cells, \
+        compact_cells
+    from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+    from pct_tpu.pipeline.fused import fused_curvature
+
+    k = 72
+    # sparse shell + one dense cluster => the cluster cell holds a few
+    # hundred points, over the 128-query split threshold
+    rng = np.random.default_rng(3)
+    shell, _ = generate_shape("sphere", 1000, radius=1.0)
+    cluster = (0.02 * rng.standard_normal((320, 3)) + 0.5).astype(np.float32)
+    pts = np.concatenate([np.asarray(shell, np.float32), cluster])
+    cloud = from_numpy(pts)
+    n = int(cloud.num_points)
+
+    cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    spec_s, mc_s, factor = probe_grid_buckets(grid, capacity_cap=4 * k,
+                                              split_to=128)
+    assert factor > 1, "fixture must actually trigger a split"
+    assert all(sp.capacity <= 128 for sp in spec_s)
+
+    # split_cells invariant: the per-cell query ranges tile the originals
+    cells = compact_cells(grid, mc_s)
+    sc = split_cells(cells, grid.sorted_points.shape[0], 128, factor)
+    assert int(np.asarray(sc.max_count)) <= 128
+    nc, nc_s = int(np.asarray(cells.num_cells)), int(np.asarray(sc.num_cells))
+    rows = {(int(i), int(s), int(c)) for i, s, c in zip(
+        np.asarray(cells.cell_id)[:nc], np.asarray(cells.start)[:nc],
+        np.asarray(cells.count)[:nc])}
+    merged = {}
+    for i, s, c in zip(np.asarray(sc.cell_id)[:nc_s],
+                       np.asarray(sc.start)[:nc_s],
+                       np.asarray(sc.count)[:nc_s]):
+        key = int(i)
+        lo, hi = merged.get(key, (int(s), int(s)))
+        assert int(s) == hi or int(s) < hi  # contiguous, ordered copies
+        merged[key] = (min(lo, int(s)), max(hi, int(s) + int(c)))
+    assert {(i, lo, hi - lo) for i, (lo, hi) in merged.items()} == rows
+
+    # unclipped capacity_cap: with the default 4k cap the cluster cell's
+    # rows beyond the cap get NO query slots (exact=False, zero output)
+    # in the unsplit layout — the split layout covers them, an extra win
+    # (on real TPUs that unsplit capacity static would also be in the
+    # pathological Mosaic compile class; CPU runs the XLA path)
+    spec_u, mc_u = probe_grid_buckets(grid, capacity_cap=512)
+    r_split = fused_curvature(cloud.points, cloud.num_points, cell, k=k,
+                              max_cells=mc_s, bucket_spec=spec_s,
+                              engine="moments", split=(128, factor))
+    r_unsplit = fused_curvature(cloud.points, cloud.num_points, cell, k=k,
+                                max_cells=mc_u, bucket_spec=spec_u,
+                                engine="moments")
+    # the certificates must agree row-for-row (the dense cluster's rows
+    # are uncovered in BOTH layouts — a geometric property of the 3^3
+    # window at this k, not a split artifact)
+    np.testing.assert_array_equal(np.asarray(r_split.exact)[:n],
+                                  np.asarray(r_unsplit.exact)[:n])
+    e = np.asarray(r_split.exact)[:n] & np.asarray(r_unsplit.exact)[:n]
+    assert e.mean() > 0.5 and e.sum() > 500
+    np.testing.assert_allclose(np.asarray(r_split.curv.K)[:n][e],
+                               np.asarray(r_unsplit.curv.K)[:n][e],
+                               rtol=2e-4, atol=1e-5)

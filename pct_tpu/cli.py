@@ -127,6 +127,9 @@ def _cmd_bench(args):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    from pct_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()   # tunneled-TPU compiles cost minutes
     # sweep/scans own their full option set — delegate before argparse
     # (argparse.REMAINDER cannot capture option-like tokens reliably)
     if argv and argv[0] == "sweep":

@@ -95,6 +95,7 @@ def validate_cloud(
     output_dir: Optional[str] = None,
     study_tol_rel: float = 0.0,
     use_mesh: bool = True,
+    smooth_iterations: int = 10,
 ) -> ValidationResult:
     """validate_shape (ref utils.py:476 driver sequence):
 
@@ -143,8 +144,14 @@ def validate_cloud(
             os.makedirs(snaps, exist_ok=True)
             mesh_path = os.path.join(
                 snaps, f"mesh_{n}_points_{shape}_{variant}.vtk")
+        # smooth_iterations=10 is the reference protocol (utils.py:319-322
+        # Taubin x10 before the vertex fits). On ANALYTIC shapes the
+        # smoothing flattens real curvature and biases ∫H² low (measured
+        # 20k torus: bending err 5.65% smoothed vs 0.23% unsmoothed, same
+        # 0.04% area both ways) — pass 0 for noise-free validation runs.
         mesh = create_mesh_with_curvature(points, k_neighbors=k_neighbors,
-                                          save_mesh_path=mesh_path)
+                                          save_mesh_path=mesh_path,
+                                          smooth_iterations=smooth_iterations)
         K, H = mesh.K, mesh.H
         normals = mesh.normals
         nan_frac = float(np.isnan(K).mean())

@@ -82,6 +82,9 @@ def main(argv=None):
                    help="skip BPA reconstruction (fast disk-area integrals)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from pct_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()   # tunneled-TPU compiles cost minutes
 
     def go():
         if args.jax_trace:

@@ -38,8 +38,16 @@ def _lib_path() -> str:
 
 def _build_lib(lib_path: str):
     tmp = lib_path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -march=native: the .so is always built on the machine that runs it
+    # (hash-keyed, never committed), and the grid scans rely on wide
+    # vectorization of the SoA distance loops
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        cmd.remove("-march=native")  # exotic hosts: portable fallback
+        subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, lib_path)  # atomic: concurrent builders race safely
 
 

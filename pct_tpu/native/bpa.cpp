@@ -40,12 +40,20 @@ static inline V3 normalize(V3 a) {
   return n > 1e-20f ? a * (1.0f / n) : V3{0, 0, 1};
 }
 
-// ---------------- spatial grid ----------------
+// ---------------- spatial grid (dense 3D, CSR layout) ----------------
+// Counting-sort point ids into contiguous per-cell ranges: one uint32
+// offsets table + SoA coordinate arrays in cell order. vs a
+// vector-of-vectors: no per-cell allocations, contiguous scans the
+// distance loops stream 8-wide, and an O(n + #cells) rebuild per
+// radius rung. Cells along x are adjacent in the layout, so a box
+// query's (z,y) row is ONE contiguous [b,e) range.
 struct Grid {
   float cell;
   V3 origin;
   int nx, ny, nz;
-  std::vector<std::vector<int>> cells;
+  std::vector<uint32_t> off;  // #cells + 1 prefix offsets into the SoA
+  std::vector<int32_t> ids;   // point ids grouped by cell
+  std::vector<float> sx, sy, sz;  // coords in cell order as SoA
 
   void build(const std::vector<V3>& pts, float cell_size) {
     cell = cell_size;
@@ -58,15 +66,31 @@ struct Grid {
     nx = std::max(1, (int)((hi.x - origin.x) / cell) + 2);
     ny = std::max(1, (int)((hi.y - origin.y) / cell) + 2);
     nz = std::max(1, (int)((hi.z - origin.z) / cell) + 2);
-    // cap the table so degenerate clouds don't explode memory
+    // cap the table so degenerate clouds don't explode memory (a finer
+    // 128-cells/point cap was measured SLOWER at 1M: the rung-0 table
+    // rebuild and off[] cache misses cost more than the scan savings)
     while ((long long)nx * ny * nz > (1LL << 24)) {
       cell *= 2.0f;
       nx = std::max(1, (int)((hi.x - origin.x) / cell) + 2);
       ny = std::max(1, (int)((hi.y - origin.y) / cell) + 2);
       nz = std::max(1, (int)((hi.z - origin.z) / cell) + 2);
     }
-    cells.assign((size_t)nx * ny * nz, {});
-    for (int i = 0; i < (int)pts.size(); ++i) cells[index_of(pts[i])].push_back(i);
+    size_t ncells = (size_t)nx * ny * nz;
+    off.assign(ncells + 1, 0);
+    for (const auto& p : pts) ++off[index_of(p) + 1];
+    for (size_t c = 0; c < ncells; ++c) off[c + 1] += off[c];
+    ids.resize(pts.size());
+    sx.resize(pts.size());
+    sy.resize(pts.size());
+    sz.resize(pts.size());
+    std::vector<uint32_t> cur(off.begin(), off.end() - 1);
+    for (int i = 0; i < (int)pts.size(); ++i) {
+      uint32_t slot = cur[index_of(pts[i])]++;
+      ids[slot] = i;
+      sx[slot] = pts[i].x;
+      sy[slot] = pts[i].y;
+      sz[slot] = pts[i].z;
+    }
   }
 
   size_t index_of(V3 p) const {
@@ -76,22 +100,120 @@ struct Grid {
     return ((size_t)iz * ny + iy) * nx + ix;
   }
 
-  template <class F>
-  void for_neighbors(V3 p, float radius, F&& f) const {
-    int r = (int)(radius / cell) + 1;
+  // Scan box around p covering |Δcoord| <= radius. ceil: |Δcoord| <=
+  // radius implies |Δindex| <= ceil(radius/cell) (floor+1 scanned 7^3
+  // cells for the pivot's 2r search where 5^3 suffice, and 5^3 for
+  // ball_empty's r where 3^3 do).
+  template <class FRow>
+  void for_rows(V3 p, float radius, FRow&& frow) const {
+    int r = (int)std::ceil(radius / cell);
     int ix = (int)((p.x - origin.x) / cell);
     int iy = (int)((p.y - origin.y) / cell);
     int iz = (int)((p.z - origin.z) / cell);
-    for (int dz = -r; dz <= r; ++dz) {
-      int z = iz + dz; if (z < 0 || z >= nz) continue;
-      for (int dy = -r; dy <= r; ++dy) {
-        int y = iy + dy; if (y < 0 || y >= ny) continue;
-        for (int dx = -r; dx <= r; ++dx) {
-          int x = ix + dx; if (x < 0 || x >= nx) continue;
-          for (int idx : cells[((size_t)z * ny + y) * nx + x]) f(idx);
-        }
+    int zlo = std::max(iz - r, 0), zhi = std::min(iz + r, nz - 1);
+    int ylo = std::max(iy - r, 0), yhi = std::min(iy + r, ny - 1);
+    int xlo = std::max(ix - r, 0), xhi = std::min(ix + r, nx - 1);
+    for (int z = zlo; z <= zhi; ++z)
+      for (int y = ylo; y <= yhi; ++y) {
+        size_t row = ((size_t)z * ny + y) * nx;
+        uint32_t b = off[row + xlo], e = off[row + xhi + 1];
+        if (b < e && frow(b, e)) return;
       }
+  }
+
+  // any point with d2(p, c) < lim, excluding ids i1/i2/i3?  Branch-free
+  // masked sum per row — the compiler vectorizes the SoA loop 8-wide.
+  bool any_inside(V3 c, float radius, float lim, int i1, int i2,
+                  int i3) const {
+    const float* px = sx.data();
+    const float* py = sy.data();
+    const float* pz = sz.data();
+    const int32_t* pid = ids.data();
+    bool hit = false;
+    for_rows(c, radius, [&](uint32_t b, uint32_t e) {
+      int hits = 0;  // int sum-reduction: gcc vectorizes this where a
+                     // float min-reduction is left scalar
+      for (uint32_t t = b; t < e; ++t) {
+        float dx = px[t] - c.x, dy = py[t] - c.y, dz = pz[t] - c.z;
+        float d2 = dx * dx + dy * dy + dz * dz;
+        bool skip = pid[t] == i1 || pid[t] == i2 || pid[t] == i3;
+        hits += (d2 < lim) & !skip;
+      }
+      hit = hits > 0;
+      return hit;  // short-circuit remaining rows
+    });
+    return hit;
+  }
+
+  // call f(id, pos) for points with d2(p, c) < lim2 — a predictable
+  // mostly-false branch over the contiguous SoA rows.
+  template <class F>
+  void scan_ball(V3 c, float radius, float lim2, F&& f) const {
+    const float* px = sx.data();
+    const float* py = sy.data();
+    const float* pz = sz.data();
+    for_rows(c, radius, [&](uint32_t b, uint32_t e) {
+      for (uint32_t t = b; t < e; ++t) {
+        float dx = px[t] - c.x, dy = py[t] - c.y, dz = pz[t] - c.z;
+        float d2 = dx * dx + dy * dy + dz * dz;
+        if (d2 < lim2) f(ids[t], V3{px[t], py[t], pz[t]});
+      }
+      return false;
+    });
+  }
+};
+
+// ---------------- flat edge-use table ----------------
+// Open-addressing (linear probe) map keyed by ekey(a,b) = (hi<<32)|lo
+// with hi > lo >= 0, so a real key is never 0 and 0 marks empty slots.
+// Replaces std::unordered_map on the hot path: no node allocations, no
+// pointer chases — at 1M points the map holds ~5M entries and the
+// node-based probes were DRAM-latency-bound.
+struct EdgeMap {
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> vals;
+  size_t mask = 0, count = 0;
+
+  void init(size_t expect) {
+    size_t cap = 64;
+    while (cap < expect * 2) cap <<= 1;
+    keys.assign(cap, 0);
+    vals.assign(cap, 0);
+    mask = cap - 1;
+    count = 0;
+  }
+  static inline size_t hashk(uint64_t k) {
+    k ^= k >> 33; k *= 0xff51afd7ed558ccdULL; k ^= k >> 33;
+    return (size_t)k;
+  }
+  void grow() {
+    std::vector<uint64_t> ok = std::move(keys);
+    std::vector<int32_t> ov = std::move(vals);
+    keys.assign(ok.size() * 2, 0);
+    vals.assign(ov.size() * 2, 0);
+    mask = keys.size() - 1;
+    for (size_t j = 0; j < ok.size(); ++j)
+      if (ok[j]) {
+        size_t i = hashk(ok[j]) & mask;
+        while (keys[i]) i = (i + 1) & mask;
+        keys[i] = ok[j];
+        vals[i] = ov[j];
+      }
+  }
+  int32_t& slot(uint64_t k) {
+    if (count * 2 >= keys.size()) grow();
+    size_t i = hashk(k) & mask;
+    while (keys[i] != 0 && keys[i] != k) i = (i + 1) & mask;
+    if (keys[i] == 0) { keys[i] = k; ++count; }
+    return vals[i];
+  }
+  int get(uint64_t k) const {  // use count; 0 when absent
+    size_t i = hashk(k) & mask;
+    while (keys[i] != 0) {
+      if (keys[i] == k) return vals[i];
+      i = (i + 1) & mask;
     }
+    return 0;
   }
 };
 
@@ -110,12 +232,17 @@ struct BPA {
   std::vector<uint8_t> state;
   std::vector<int32_t> tris;
   // directed-edge bookkeeping: key = (min,max); value: #times used
-  std::unordered_map<uint64_t, int> edge_uses;
+  EdgeMap edge_uses;
   std::deque<Edge> front;
   float r;
 
   BPA(const std::vector<V3>& p, const std::vector<V3>& n)
-      : pts(p), nrm(n), state(p.size(), ORPHAN) {}
+      : pts(p), nrm(n), state(p.size(), ORPHAN) {
+    // ~3 edges/point on a closed surface; pre-size so the hot loop
+    // never pays a rehash storm (measured: seconds at 1M points)
+    edge_uses.init(4 * p.size());
+    tris.reserve(7 * p.size());
+  }
 
   static uint64_t ekey(int a, int b) {
     uint32_t lo = (uint32_t)std::min(a, b), hi = (uint32_t)std::max(a, b);
@@ -145,12 +272,7 @@ struct BPA {
 
   bool ball_empty(V3 c, int i1, int i2, int i3) const {
     float lim = r * r * (1.0f - 1e-4f);
-    bool ok = true;
-    grid.for_neighbors(c, r, [&](int idx) {
-      if (!ok || idx == i1 || idx == i2 || idx == i3) return;
-      if (norm2(pts[idx] - c) < lim) ok = false;
-    });
-    return ok;
+    return !grid.any_inside(c, r, lim, i1, i2, i3);
   }
 
   bool normals_compatible(int i1, int i2, int i3) const {
@@ -173,14 +295,13 @@ struct BPA {
   }
 
   void push_edge(int a, int b, int opp, V3 center) {
-    int& uses = edge_uses[ekey(a, b)];
+    int32_t& uses = edge_uses.slot(ekey(a, b));
     ++uses;
     if (uses == 1) front.push_back({a, b, opp, center});
   }
 
   bool edge_open(int a, int b) const {
-    auto it = edge_uses.find(ekey(a, b));
-    return it != edge_uses.end() && it->second == 1;
+    return edge_uses.get(ekey(a, b)) == 1;
   }
 
   // try to find a seed triangle among unused points.
@@ -197,14 +318,16 @@ struct BPA {
     for (int& i = seed_cursor; i < (int)pts.size(); ++i) {
       if (state[i] != ORPHAN) continue;
       std::vector<int> cand;
-      grid.for_neighbors(pts[i], 2 * r, [&](int idx) {
-        if (idx != i && norm2(pts[idx] - pts[i]) < 4 * r * r) cand.push_back(idx);
+      grid.scan_ball(pts[i], 2 * r, 4 * r * r, [&](int idx, V3) {
+        if (idx != i) cand.push_back(idx);
       });
       // a valid seed triangle has circumradius <= r, so its two other
       // vertices are almost always among the nearest points; bound the
       // O(|cand|^2) pair loop by trying the nearest pairs first (dense
       // regions at the ladder's large radii otherwise see |cand| in the
-      // thousands)
+      // thousands). Below the cap the pair loop keeps grid order: a
+      // full nearest-first sort was measured to seed sliver triangles
+      // on the dupin cyclide (F/V 1.62 -> 1.42).
       constexpr size_t kSeedCap = 64;
       if (cand.size() > kSeedCap) {
         V3 pi = pts[i];
@@ -245,7 +368,11 @@ struct BPA {
     float best_angle = 1e9f;
     V3 best_c{};
     float search = 2.0f * r;
-    grid.for_neighbors(m, search, [&](int x) {
+    // any contact x satisfies |x-m| <= |x-c'| + |c'-m| = r + sqrt(r^2 -
+    // |ab|^2/4) <= 2r — reject the scan cube's corners (~10x the ball's
+    // volume) in the vectorized distance pass before ball_center
+    float lim2 = 4.0f * r * r * (1.0f + 1e-5f);
+    grid.scan_ball(m, search, lim2, [&](int x, V3 px) {
       if (x == e.a || x == e.b || x == e.opposite) return;
       // interior points may be re-glued; non-manifold overuse is rejected
       // by the edge_uses >= 2 checks in run()
@@ -257,7 +384,10 @@ struct BPA {
       // rolling direction: away from the old triangle = positive wdir side
       float ang = std::atan2(wx, wy);           // 0 at current center
       if (ang <= 1e-6f) ang += 2.0f * (float)M_PI;
-      if (ang < best_angle) {
+      // (angle, id) lexicographic: exact float-angle ties (symmetric
+      // contacts at the large rungs) resolve by point id, making the
+      // winner a function of the candidate set alone
+      if (ang < best_angle || (ang == best_angle && x < best)) {
         if (!normals_compatible(e.a, e.b, x)) return;
         if (!ball_empty(c, e.a, e.b, x)) return;
         best_angle = ang;
@@ -290,12 +420,10 @@ struct BPA {
         // adding triangle (a, b, x): the shared edge gets its 2nd use
         if (!edge_open(e.a, e.b)) continue;
         // avoid non-manifold overuse of the new edges
-        auto u1 = edge_uses.find(ekey(e.a, x));
-        auto u2 = edge_uses.find(ekey(e.b, x));
-        if ((u1 != edge_uses.end() && u1->second >= 2) ||
-            (u2 != edge_uses.end() && u2->second >= 2))
+        if (edge_uses.get(ekey(e.a, x)) >= 2 ||
+            edge_uses.get(ekey(e.b, x)) >= 2)
           continue;
-        edge_uses[ekey(e.a, e.b)]++;  // now closed
+        ++edge_uses.slot(ekey(e.a, e.b));  // now closed
         emit_pivot(e.a, e.b, x, c);
       }
       if (!find_seed()) break;

@@ -263,3 +263,28 @@ def test_mesh_pipeline_dupin_cyclide():
     abs_int = float(np.nansum(np.abs(K_f) * areas))
     assert np.isfinite(m.energies.bending)
     assert abs(float(m.energies.stretching)) < 0.25 * abs_int
+
+
+def test_bpa_degenerate_inputs_terminate():
+    """Hostile BPA inputs: exact duplicate points (zero-area seed
+    candidates) and long collinear runs (degenerate circumcenters,
+    ref utils.py:92-106 would delegate these to Open3D's guards).
+    The native reconstruction (native/bpa.cpp) must terminate, index
+    only valid vertices, and still mesh the clean part of the cloud."""
+    from pct_tpu.mesh.reconstruct import ball_pivoting, cleanup_mesh
+    from pct_tpu.shapes import generate_shape
+
+    pts, _ = generate_shape("sphere", 2000, radius=1.0)
+    pts = np.asarray(pts, np.float32)
+    dup = pts[:50]                                   # exact duplicates
+    line = np.stack([np.linspace(2.0, 3.0, 60),      # collinear, off-shape
+                     np.zeros(60), np.zeros(60)], -1).astype(np.float32)
+    cloud = np.concatenate([pts, dup, line])
+    normals = cloud / np.maximum(
+        np.linalg.norm(cloud, axis=1, keepdims=True), 1e-9)
+    d = float(np.linalg.norm(pts[0] - pts[1:], axis=1).min())
+    faces = cleanup_mesh(
+        ball_pivoting(cloud, normals, [d, 2 * d, 4 * d]))
+    assert faces.min() >= 0 and faces.max() < len(cloud)
+    # the sphere part still reconstructs substantially
+    assert (faces < len(pts)).all(axis=1).sum() > 0.8 * len(pts)

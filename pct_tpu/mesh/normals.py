@@ -49,7 +49,9 @@ def estimate_raw_normals(points: jax.Array, indices: jax.Array,
 @partial(jax.jit, static_argnames=("sweeps",))
 def orient_normals(points: jax.Array, normals: jax.Array,
                    indices: jax.Array, num_points: jax.Array,
-                   sweeps: int = 64):
+                   sweeps: int = 64,
+                   seed_mask: jax.Array | None = None,
+                   seed_signs: jax.Array | None = None):
     """Wavefront sign propagation over the kNN graph.
 
     A synchronous everyone-votes scheme oscillates (parallel Ising
@@ -57,16 +59,16 @@ def orient_normals(points: jax.Array, normals: jax.Array,
     each sweep, every unoriented point adjacent to oriented points takes
     the sign of its cos-weighted vote over oriented neighbors only, then
     joins the oriented set — a parallel-wavefront version of the MST
-    propagation Open3D uses (ref utils.py:80). Seed: the highest-z valid
-    point, oriented to +z (Open3D's extremal-point convention). Needs
-    O(graph diameter / 1) sweeps; unreached components keep their raw
+    propagation Open3D uses (ref utils.py:80). Default seed: the
+    highest-z valid point, oriented to +z (Open3D's extremal-point
+    convention). ``seed_mask``/``seed_signs`` instead start the
+    wavefront from MANY pre-oriented points at once (the hierarchical
+    path in ``estimate_and_orient_normals``). Needs O(graph diameter)
+    sweeps from one seed; unreached components keep their raw
     orientation.
     """
     n = points.shape[0]
     valid = jnp.arange(n, dtype=jnp.int32) < num_points
-    zvals = jnp.where(valid, points[:, 2], -jnp.inf)
-    seed = jnp.argmax(zvals)
-    seed_sign = jnp.where(normals[seed, 2] >= 0, 1.0, -1.0)
 
     dots = jnp.einsum("nkd,nd->nk", normals[indices], normals,
                       preferred_element_type=jnp.float32,
@@ -82,19 +84,67 @@ def orient_normals(points: jax.Array, normals: jax.Array,
                              jnp.where(vote < 0, -1.0, 1.0), sign)
         return new_sign, oriented | frontier
 
-    sign0 = jnp.ones((n,), points.dtype).at[seed].set(seed_sign)
-    oriented0 = jnp.zeros((n,), bool).at[seed].set(True)
+    if seed_mask is None:
+        zvals = jnp.where(valid, points[:, 2], -jnp.inf)
+        seed = jnp.argmax(zvals)
+        seed_sign = jnp.where(normals[seed, 2] >= 0, 1.0, -1.0)
+        sign0 = jnp.ones((n,), points.dtype).at[seed].set(seed_sign)
+        oriented0 = jnp.zeros((n,), bool).at[seed].set(True)
+    else:
+        sign0 = jnp.where(seed_mask, seed_signs, 1.0).astype(points.dtype)
+        oriented0 = seed_mask & valid
     sign, _ = jax.lax.fori_loop(0, sweeps, sweep, (sign0, oriented0))
     return normals * sign[:, None]
+
+
+# above this size one extremal seed can't cross the kNN graph in an
+# affordable sweep count (diameter ~ sqrt(N) on surfaces; 40 sweeps left
+# 40% of a 300k torus mis-signed) — orient a strided coarse subset first
+_HIER_THRESHOLD = 32768
+_COARSE_TARGET = 16384
 
 
 def estimate_and_orient_normals(cloud, k: int = 50, sweeps: int = 40):
     """Full replacement for the reference's estimate+orient pass
     (ref utils.py:74-80): grid kNN (k=50 default, as the reference's
-    orient step) -> covariance normals -> voting orientation."""
+    orient step) -> covariance normals -> voting orientation.
+
+    Large clouds orient HIERARCHICALLY: a strided ~16k-point coarse
+    subset (small graph diameter) runs the extremal-seed wavefront to
+    convergence, then the full cloud's wavefront starts from ALL coarse
+    points at once — each frontier only has to cross the coarse spacing
+    (~sqrt(stride) hops), not the whole surface. Measured on the random
+    torus: 300k went from 60% consistent signs (40 single-seed sweeps)
+    to 100%.
+    """
+    import numpy as np
+
+    from pct_tpu.core.cloud import from_numpy
     from pct_tpu.neighbors.knn import knn_cloud_grid
 
     res, _ = knn_cloud_grid(cloud, k)
     raw = estimate_raw_normals(cloud.points, res.indices)
+    n = int(cloud.num_points)
+    if n <= _HIER_THRESHOLD:
+        return orient_normals(cloud.points, raw, res.indices,
+                              cloud.num_points, sweeps=sweeps)
+
+    stride = max(2, -(-n // _COARSE_TARGET))
+    sel = np.arange(0, n, stride, dtype=np.int32)
+    coarse_raw = raw[sel]
+    ccloud = from_numpy(np.asarray(cloud.points[sel]))
+    kc = min(16, len(sel) - 1)
+    cres, _ = knn_cloud_grid(ccloud, kc)
+    pad_c = ccloud.points.shape[0] - len(sel)
+    craw = jnp.pad(coarse_raw, ((0, pad_c), (0, 0)))
+    oriented_c = orient_normals(ccloud.points, craw, cres.indices,
+                                ccloud.num_points, sweeps=512)[:len(sel)]
+    csign = jnp.where(jnp.sum(oriented_c * coarse_raw, axis=-1) < 0.0,
+                      -1.0, 1.0)
+    seed_mask = jnp.zeros((cloud.points.shape[0],), bool).at[sel].set(True)
+    seed_signs = jnp.ones((cloud.points.shape[0],),
+                          cloud.points.dtype).at[sel].set(csign)
+    fine_sweeps = max(sweeps, 4 * int(np.ceil(np.sqrt(stride))))
     return orient_normals(cloud.points, raw, res.indices, cloud.num_points,
-                          sweeps=sweeps)
+                          sweeps=fine_sweeps, seed_mask=seed_mask,
+                          seed_signs=seed_signs)

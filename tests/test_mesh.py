@@ -174,6 +174,32 @@ def test_normals_orientation_sphere(rng):
     assert frac_pos > 0.99 or frac_pos < 0.01
 
 
+def test_normals_orientation_hierarchical_torus():
+    """At 60k points the kNN-graph diameter (~250 hops) exceeds any
+    affordable single-seed sweep count — the hierarchical coarse-seed
+    path (mesh/normals.py) must still deliver globally consistent signs
+    (the reference gets this from Open3D's MST, utils.py:80). Regression:
+    the single-seed wavefront left 40% of a 300k torus mis-signed."""
+    from pct_tpu.core import from_numpy
+    from pct_tpu.mesh.normals import estimate_and_orient_normals
+    from pct_tpu.shapes import generate_shape
+
+    n = 60_000
+    pts, _ = generate_shape("torus", n, radius=1.0)
+    cloud = from_numpy(pts)
+    nrm = np.asarray(estimate_and_orient_normals(cloud, k=16))[:n]
+    # analytic tube normal: (p - c) with c the nearest center-circle point
+    rho = np.linalg.norm(pts[:, :2], axis=1, keepdims=True)
+    scale = pts[:, :2] / np.maximum(rho, 1e-9)
+    c = np.concatenate([scale, np.zeros((n, 1), pts.dtype)], axis=1)
+    # generate_shape scales the unit-ish torus by radius; recover the
+    # center circle radius from the data (max rho = R + tube)
+    R = 0.75 * rho.max()  # R : tube = 3 : 1 -> R = 0.75 (R + r_t)
+    ana = pts - R * c
+    agree = (np.sum(nrm * ana, axis=1) > 0).mean()
+    assert agree > 0.999 or agree < 0.001
+
+
 def test_fill_holes_by_size_nonplanar():
     """The final large-hole pass (ref utils.py:338-345 semantics) must
     close a NON-planar hole the small-hole (planarity-gated) pass skips:

@@ -28,20 +28,41 @@ def boundary_edges(faces: np.ndarray) -> np.ndarray:
     return uniq[counts < 2]
 
 
-class _UnionFind:
-    def __init__(self, items):
-        self.parent = {i: i for i in items}
+def _loop_partition(be: np.ndarray):
+    """Partition boundary edges into loops (connected components).
 
-    def find(self, x):
-        while self.parent[x] != x:
-            self.parent[x] = self.parent[self.parent[x]]
-            x = self.parent[x]
-        return x
+    Returns (loops, edge_loop): loops as sorted vertex-id arrays and
+    each boundary edge's loop index. One O(B α(B)) union-find pass over
+    index-compressed ids — the previous per-loop ``np.isin`` over the
+    full edge set made hole passes O(loops × edges) (measured 46 s for
+    8.5k holes on a 300k-point torus; BPA leaves ~1 tiny hole per 35
+    points on random samplings, not the "handful of loops" the original
+    design assumed).
+    """
+    verts = np.unique(be)
+    a = np.searchsorted(verts, be[:, 0]).astype(np.int64)
+    b = np.searchsorted(verts, be[:, 1]).astype(np.int64)
+    parent = np.arange(len(verts), dtype=np.int64)
 
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for i in range(len(a)):
+        ra, rb = find(int(a[i])), find(int(b[i]))
         if ra != rb:
-            self.parent[ra] = rb
+            parent[ra] = rb
+    labels = np.fromiter((find(i) for i in range(len(verts))),
+                         np.int64, len(verts))
+    _, lab = np.unique(labels, return_inverse=True)
+    order = np.argsort(lab, kind="stable")
+    splits = np.searchsorted(lab[order], np.arange(1, lab.max() + 1))
+    loops = [verts[np.sort(g)] for g in np.split(order, splits)]
+    return loops, lab[a]
 
 
 def detect_boundary_loops(faces: np.ndarray) -> List[np.ndarray]:
@@ -50,14 +71,7 @@ def detect_boundary_loops(faces: np.ndarray) -> List[np.ndarray]:
     be = boundary_edges(faces)
     if be.size == 0:
         return []
-    verts = np.unique(be)
-    uf = _UnionFind(verts.tolist())
-    for a, b in be:
-        uf.union(int(a), int(b))
-    groups: dict = {}
-    for v in verts:
-        groups.setdefault(uf.find(int(v)), []).append(int(v))
-    return [np.asarray(sorted(g), dtype=np.int64) for g in groups.values()]
+    return _loop_partition(be)[0]
 
 
 def loop_perimeter(vertices: np.ndarray, loop: np.ndarray,
@@ -90,9 +104,13 @@ def fill_hole(vertices: np.ndarray, loop: np.ndarray) -> np.ndarray:
     2D, keep triangles whose vertices are all on the loop; convex-hull
     fan fallback (ref :187-206). Returns (F,3) int64 faces (global ids).
     """
-    pts = vertices[loop]
     if loop.size < 3:
         return np.zeros((0, 3), np.int64)
+    if loop.size == 3:
+        # Delaunay of a triangle is that triangle; skip the Qhull call
+        # (3-edge holes dominate BPA output — ~1 ms each adds up)
+        return loop[None, :].astype(np.int64)
+    pts = vertices[loop]
     c = pts - pts.mean(0)
     _, _, Vt = np.linalg.svd(c, full_matrices=False)
     plane = c @ Vt[:2].T          # project out the normal direction
@@ -149,24 +167,23 @@ def order_loop(be: np.ndarray, loop: np.ndarray) -> np.ndarray | None:
 def _min_area_triangulation(P: np.ndarray) -> List[Tuple[int, int, int]]:
     """Minimum-total-area triangulation of an ordered 3D polygon chain
     (classic interval DP, O(L³)) — well-behaved on NON-planar loops
-    where a projected Delaunay would fold."""
+    where a projected Delaunay would fold. The inner argmin runs as one
+    numpy vector op per (i, j) span (the scalar form cost ~3 s for a
+    single 100-vertex loop)."""
     L = len(P)
-
-    def area(a, b, c):
-        cr = np.cross(P[b] - P[a], P[c] - P[a])
-        return 0.5 * float(np.sqrt((cr * cr).sum()))
-
+    D = P[None, :, :] - P[:, None, :]          # D[i, m] = P[m] - P[i]
     dp = np.zeros((L, L))
     choice = np.zeros((L, L), dtype=np.int64)
     for span in range(2, L):
         for i in range(L - span):
             j = i + span
-            best, bm = None, i + 1
-            for m in range(i + 1, j):
-                cost = dp[i][m] + dp[m][j] + area(i, m, j)
-                if best is None or cost < best:
-                    best, bm = cost, m
-            dp[i][j], choice[i][j] = best, bm
+            m = slice(i + 1, j)
+            cr = np.cross(D[i, m], D[i, j])
+            areas = 0.5 * np.sqrt((cr * cr).sum(-1))
+            cost = dp[i, m] + dp[m, j] + areas
+            bm = int(np.argmin(cost))
+            dp[i, j] = cost[bm]
+            choice[i, j] = i + 1 + bm
     tris: List[Tuple[int, int, int]] = []
 
     def rec(i, j):
@@ -193,20 +210,24 @@ def fill_holes_by_size(vertices: np.ndarray, faces: np.ndarray,
     loops longer than ``max_loop``, where O(L³) DP stops paying).
     Returns (faces', n_filled).
     """
-    loops = detect_boundary_loops(faces)
-    if not loops:
-        return faces, 0
     be = boundary_edges(faces)
+    if be.size == 0:
+        return faces, 0
+    loops, edge_loop = _loop_partition(be)
+    edge_order = np.argsort(edge_loop, kind="stable")
+    edge_splits = np.searchsorted(edge_loop[edge_order],
+                                  np.arange(1, len(loops)))
+    loop_edges = np.split(edge_order, edge_splits)
     new_faces = [faces.astype(np.int64)]
     filled = 0
-    for loop in loops:
+    for li, loop in enumerate(loops):
         if loop.size < 3:
             continue
         pts = vertices[loop]
         radius = float(np.linalg.norm(pts - pts.mean(0), axis=1).max())
         if radius > hole_size:
             continue
-        cyc = order_loop(be, loop)
+        cyc = order_loop(be[loop_edges[li]], loop)
         if cyc is None:
             continue
         if cyc.size <= max_loop:
@@ -227,14 +248,21 @@ def fill_small_holes(vertices: np.ndarray, faces: np.ndarray,
     """
     bbox = vertices.max(0) - vertices.min(0)
     threshold = perimeter_factor * float(bbox.mean())
-    loops = detect_boundary_loops(faces)
     be = boundary_edges(faces)
+    if be.size == 0:
+        return faces, 0
+    loops, edge_loop = _loop_partition(be)
+    # all loop perimeters in one segment sum (an edge's endpoints are in
+    # the same component by construction, so this matches the per-loop
+    # both-endpoints-in-loop edge selection exactly)
+    elen = np.linalg.norm(vertices[be[:, 0]] - vertices[be[:, 1]], axis=1)
+    perims = np.bincount(edge_loop, weights=elen, minlength=len(loops))
     new_faces = [faces]
     filled = 0
-    for loop in loops:
+    for li, loop in enumerate(loops):
         if loop.size < 3:
             continue
-        if loop_perimeter(vertices, loop, faces, be) >= threshold:
+        if perims[li] >= threshold:
             continue
         if not is_planar(vertices[loop], planar_tol):
             continue

@@ -42,6 +42,10 @@ class MeshResult:
     H: np.ndarray
     energies: MeshEnergies
     n_holes_filled: int
+    timings: dict = dataclasses.field(default_factory=dict)
+    """Per-stage wall seconds (normals/bpa/holes/smooth/curvature/
+    energies) — the observability analogue of the reference's cProfile
+    wrapper (ref main_scans.py:70-73)."""
 
 
 def create_mesh_with_curvature(
@@ -56,9 +60,19 @@ def create_mesh_with_curvature(
     ladder (``bpa_radii_adaptive`` — up to the reference's 25 rungs on
     high-spacing-spread clouds, utils.py:441-470); pass an int for the
     fixed geometric ladder."""
+    import time
+
     points = np.asarray(points, dtype=np.float32)
     cloud = from_numpy(points)
     n = int(cloud.num_points)
+    timings: dict = {}
+    _t = time.perf_counter()
+
+    def lap(stage):
+        nonlocal _t
+        now = time.perf_counter()
+        timings[stage] = round(now - _t, 3)
+        _t = now
 
     from pct_tpu.mesh.normals import estimate_and_orient_normals
     from pct_tpu.mesh.reconstruct import bpa_radii_adaptive
@@ -66,6 +80,7 @@ def create_mesh_with_curvature(
 
     normals = np.asarray(estimate_and_orient_normals(
         cloud, k=min(50, max(4, n - 1))))[:n]
+    lap("normals")
     nn_d = np.asarray(sampled_nn_distances(cloud.points, cloud.num_points))
     dbar = float(np.nanmean(nn_d))
     radii = (bpa_radii_adaptive(nn_d) if num_radii is None
@@ -73,6 +88,7 @@ def create_mesh_with_curvature(
     faces = cleanup_mesh(ball_pivoting(points, normals, radii,
                                        degeneracy_jitter=0.01,
                                        mean_spacing=dbar))
+    lap("bpa")
 
     filled = 0
     if fill_holes and faces.size:
@@ -81,12 +97,14 @@ def create_mesh_with_curvature(
             faces, nf = fill_small_holes(points, faces)
             filled += nf
         faces = cleanup_mesh(faces.astype(np.int32))
+        lap("holes_small")
 
     verts = points
     if smooth_iterations > 0 and faces.size:
         verts = np.asarray(taubin_smooth(jnp.asarray(points),
                                          jnp.asarray(faces),
                                          iterations=smooth_iterations))
+        lap("smooth")
 
     if fill_holes and faces.size:
         # final large-hole pass after smoothing (ref utils.py:338-345:
@@ -99,6 +117,7 @@ def create_mesh_with_curvature(
                                        hole_size=float(bbox.mean()) / 10.0)
         filled += nf
         faces = cleanup_mesh(faces.astype(np.int32))
+        lap("holes_large")
 
     # curvature on the (smoothed) mesh vertices — reference semantics:
     # a fresh PointCloud over the mesh vertices (utils.py:481-501, k=100
@@ -109,12 +128,14 @@ def create_mesh_with_curvature(
     r = fast_curvature(vcloud, k=k_neighbors)
     K = np.asarray(r.curv.K)[:n]
     H = np.asarray(r.curv.H)[:n]
+    lap("curvature")
 
     e = mesh_energies(jnp.asarray(verts), jnp.asarray(faces),
                       jnp.asarray(K), jnp.asarray(H)) if faces.size else \
         MeshEnergies(jnp.float32(np.nan), jnp.float32(np.nan),
                      jnp.float32(0.0))
     energies = MeshEnergies(*(float(x) for x in e))
+    lap("energies")
 
     if save_mesh_path:
         scalars = {"gaussian_curvature": K, "mean_curvature": H}
@@ -128,4 +149,5 @@ def create_mesh_with_curvature(
 
             write_ply(save_mesh_path, verts, normals, faces,
                       vertex_props=scalars)
-    return MeshResult(verts, faces, normals, K, H, energies, filled)
+    return MeshResult(verts, faces, normals, K, H, energies, filled,
+                      timings)

@@ -154,6 +154,7 @@ def validate_cloud(
                                           smooth_iterations=smooth_iterations)
         K, H = mesh.K, mesh.H
         normals = mesh.normals
+        log.info("mesh stage seconds: %s", mesh.timings)
         nan_frac = float(np.isnan(K).mean())
         if nan_frac > nan_abort_fraction:
             log.error("NaN fraction %.2f > %.2f — aborting "

@@ -220,8 +220,23 @@ def fill_holes_by_size(vertices: np.ndarray, faces: np.ndarray,
     loop_edges = np.split(edge_order, edge_splits)
     new_faces = [faces.astype(np.int64)]
     filled = 0
+    # batch the dominant case: 3-vertex loops with exactly 3 boundary
+    # edges are triangles (order/triangulation trivial) — at 1M points
+    # ~10k of them pay ~2 ms each through the generic walk + DP path
+    n_edges = np.bincount(edge_loop, minlength=len(loops))
+    tri3 = [li for li, loop in enumerate(loops)
+            if loop.size == 3 and n_edges[li] == 3]
+    if tri3:
+        P3 = vertices[np.stack([loops[li] for li in tri3])]   # (B, 3, 3)
+        radius3 = np.linalg.norm(
+            P3 - P3.mean(1, keepdims=True), axis=2).max(1)
+        ok3 = np.asarray(tri3)[radius3 <= hole_size]
+        if ok3.size:
+            new_faces.append(np.stack([loops[li] for li in ok3]))
+            filled += ok3.size
+    tri3_set = set(tri3)
     for li, loop in enumerate(loops):
-        if loop.size < 3:
+        if loop.size < 3 or li in tri3_set:
             continue
         pts = vertices[loop]
         radius = float(np.linalg.norm(pts - pts.mean(0), axis=1).max())
@@ -257,17 +272,35 @@ def fill_small_holes(vertices: np.ndarray, faces: np.ndarray,
     # both-endpoints-in-loop edge selection exactly)
     elen = np.linalg.norm(vertices[be[:, 0]] - vertices[be[:, 1]], axis=1)
     perims = np.bincount(edge_loop, weights=elen, minlength=len(loops))
+    sizes = np.fromiter((lp.size for lp in loops), np.int64, len(loops))
     new_faces = [faces]
     filled = 0
-    for li, loop in enumerate(loops):
-        if loop.size < 3:
+    # group loops by size: one BATCHED SVD planarity test per size class
+    # (BPA leaves tens of thousands of 3-5 edge holes at 1M points —
+    # a per-loop svd/Delaunay round-trip costs ~2 ms each)
+    for s in np.unique(sizes):
+        if s < 3:
             continue
-        if perims[li] >= threshold:
+        cand = np.flatnonzero((sizes == s) & (perims < threshold))
+        if cand.size == 0:
             continue
-        if not is_planar(vertices[loop], planar_tol):
+        P = vertices[np.stack([loops[i] for i in cand])]     # (B, s, 3)
+        c = P - P.mean(1, keepdims=True)
+        sv = np.linalg.svd(c, compute_uv=False)              # (B, 3)
+        planar = (sv[:, 0] <= 0) | (
+            sv[:, -1] / np.maximum(sv[:, 0], 1e-300) < planar_tol)
+        ok = cand[planar]
+        if ok.size == 0:
             continue
-        f = fill_hole(vertices, loop)
-        if f.size:
-            new_faces.append(f)
-            filled += 1
+        if s == 3:
+            # Delaunay of a triangle is that triangle — fill in one batch
+            new_faces.append(
+                np.stack([loops[i] for i in ok]).astype(np.int64))
+            filled += ok.size
+        else:
+            for i in ok:
+                f = fill_hole(vertices, loops[i])
+                if f.size:
+                    new_faces.append(f)
+                    filled += 1
     return np.concatenate(new_faces, axis=0), filled

@@ -9,3 +9,7 @@ from pct_tpu.distributed.slab import (  # noqa: F401
     slab_curvature,
     slab_curvature_unsorted,
 )
+from pct_tpu.distributed.sort import (  # noqa: F401
+    DistGrid,
+    build_grid_distributed,
+)

@@ -68,11 +68,18 @@ def slab_curvature(
     method: str = "explicit",
     implicit_mode: str = "exact",
     select_impl: str | None = None,
+    distributed_sort: bool = False,
 ) -> SlabResult:
     """Full slab-resident multi-chip step.
 
     ``halo``: sorted rows exchanged per side (default 4·k·expected-row
     width ≈ plenty for rings=1 coverage; certified by ``exact``).
+    ``distributed_sort``: build the global cell-sorted order with the
+    sample sort (distributed/sort.py — O(n/d) memory and sort work per
+    chip, three ICI collectives) instead of one replicated XLA sort;
+    output is bit-identical, and a capacity overflow in the sort
+    degrades every point's ``exact`` certificate to False rather than
+    returning silently wrong neighborhoods.
     """
     from pct_tpu.pipeline.fused import _curvature_of_neighborhoods
 
@@ -93,9 +100,16 @@ def slab_curvature(
     max_cells = min(((local_n + tile_cells - 1) // tile_cells) * tile_cells,
                     default_max_cells(local_n, k, tile_cells))
 
-    # global sort once (replicated — one XLA sort; for > replicable sizes
-    # this becomes a distributed sort, out of scope for this round)
-    grid = build_grid(points, num_points, cell_size)
+    # global cell-sorted order: replicated (one XLA sort — fine while the
+    # cloud fits one chip) or the distributed sample sort (O(n/d)/chip)
+    sort_ok = None
+    if distributed_sort:
+        from pct_tpu.distributed.sort import build_grid_distributed
+
+        grid, sort_ok = build_grid_distributed(mesh, points, num_points,
+                                               cell_size)
+    else:
+        grid = build_grid(points, num_points, cell_size)
     sorted_pts = grid.sorted_points
     sorted_ids = grid.sorted_ids
 
@@ -208,6 +222,8 @@ def slab_curvature(
     )
     curv, normals, exact, kth, rows = shard_fn(sorted_pts, sorted_ids,
                                                grid.order)
+    if sort_ok is not None:
+        exact = exact & sort_ok
     return SlabResult(curv, normals, exact, kth, rows)
 
 

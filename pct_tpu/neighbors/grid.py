@@ -62,23 +62,38 @@ def linearize(coords: jax.Array) -> jax.Array:
             + coords[..., 2] * _MULT[2])
 
 
+def grid_geometry(lo: jax.Array, hi: jax.Array, cell_size: jax.Array):
+    """(origin, dims, clamped cell_size) from a bounding box.
+
+    Shared by the replicated ``build_grid`` and the distributed sort
+    (distributed/sort.py) so both quantize points bit-identically."""
+    cell_size = jnp.maximum(cell_size, 1e-12)
+    origin = lo - 0.5 * cell_size
+    dims = jnp.clip(
+        jnp.ceil((hi - origin) / cell_size).astype(jnp.int32) + 1, 1, MAXDIM
+    )
+    return origin, dims, cell_size
+
+
+def quantize_ids(points: jax.Array, valid: jax.Array, origin: jax.Array,
+                 cell_size: jax.Array, dims: jax.Array) -> jax.Array:
+    """Linearized cell id per row; PAD_ID where ``valid`` is False."""
+    vpts = jnp.where(valid[:, None], points, 0.0)
+    ids = linearize(cell_coords(vpts, origin, cell_size, dims))
+    return jnp.where(valid, ids, PAD_ID)
+
+
 @jax.jit
 def build_grid(points: jax.Array, num_points: jax.Array,
                cell_size: jax.Array) -> GridIndex:
     """Build the index: quantize -> linearize -> one stable sort."""
     n = points.shape[0]
     valid = jnp.arange(n, dtype=jnp.int32) < num_points
-    vpts = jnp.where(valid[:, None], points, 0.0)
     big = jnp.float32(jnp.inf)
     lo = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
     hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
-    cell_size = jnp.maximum(cell_size, 1e-12)
-    origin = lo - 0.5 * cell_size
-    dims = jnp.clip(
-        jnp.ceil((hi - origin) / cell_size).astype(jnp.int32) + 1, 1, MAXDIM
-    )
-    ids = linearize(cell_coords(vpts, origin, cell_size, dims))
-    ids = jnp.where(valid, ids, PAD_ID)
+    origin, dims, cell_size = grid_geometry(lo, hi, cell_size)
+    ids = quantize_ids(points, valid, origin, cell_size, dims)
     order = jnp.argsort(ids, stable=True).astype(jnp.int32)
     return GridIndex(
         sorted_points=points[order],

@@ -134,13 +134,14 @@ def sharded_curvature(
             (sp.capacity, sp.run_cap, impl_b, args)
             for sp, args, impl_b in bucketed_tile_args(
                 grid, cells, bucket_spec, tile_cells, select_impl,
-                pad_tiles_to=d)
+                pad_tiles_to=d, pack=1)  # cellwise runner: unpacked fetch
         ]
     else:
         if run_cap is None:
             run_cap = 3 * capacity
         tile_args, tile_cells, select_impl = _cellwise_setup(
-            grid, cells, capacity, tile_cells, run_cap, select_impl)
+            grid, cells, capacity, tile_cells, run_cap, select_impl,
+            pack=1)  # cellwise runner: unpacked fetch
         buckets = [(capacity, run_cap, select_impl, _pad_tiles(tile_args))]
 
     def fn(centered, found):

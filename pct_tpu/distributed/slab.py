@@ -153,7 +153,8 @@ def slab_curvature(
         # outputs are sliced away below ---
         cells_l = compact_cells(lgrid, max_cells)
         tile_args, _tc, impl = _cellwise_setup(
-            lgrid, cells_l, capacity, tile_cells, run_cap, select_impl)
+            lgrid, cells_l, capacity, tile_cells, run_cap, select_impl,
+            pack=1)  # cellwise_tile_runner fetches unpacked
 
         def fn(centered, found):
             del found

@@ -115,14 +115,47 @@ def default_select_impl() -> str:
     return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
 
+def _cand_pack(n: int) -> int:
+    """Points PACKED PER GATHERED ROW in the candidate fetch.
+
+    The XLA row gather is ROW-COUNT-bound, not byte-bound (measured on
+    v5e, scripts/micro_gather_pack.py: 43M 16B rows 735 ms; the same
+    bytes as 6.3M 128B rows 66 ms — 11x). Candidates are contiguous
+    3-cell x-runs, so 8 consecutive sorted points ride one (8·ch)-wide
+    row: row count drops 8x for a ≤(pack) per-run-edge overfetch. The
+    cloud padding (core.cloud: 1024-multiples) makes n % 8 == 0 the
+    normal case; odd-sized grids fall back to per-point rows.
+
+    PER-PATH trade-off (all measured, 1M torus, v5e): unpacking the
+    gathered groups into the kernels' per-axis (T, M) lane layout is a
+    sublane->lane relayout that costs ~0.8 s/1M — packing only wins
+    where it replaces something even worse. The library-kNN rows path
+    (with_ids: the unpacked alternative is a trailing-dim-4 (T,M,4)
+    gather) went 0.662 -> 0.487 s and the k=100 moments engine (gather
+    dominates the budget) 1.92 -> 1.67 s; but the k=20 fused coords
+    path (cheap select kernel, trailing-dim-3 gather that XLA slices
+    efficiently) went 0.626 -> 1.51 s. ``cellwise_tile_runner``
+    therefore pins pack=1; the rows/moments paths take this default.
+    """
+    return 8 if n % 8 == 0 else 1
+
+
+def _cand_m(run_cap: int, pack: int) -> int:
+    """Candidate-axis width M for a run cap and packing factor: packed
+    runs round to group boundaries, widening M from 9·run_cap to
+    9·(run_cap + pack)."""
+    return 9 * ((run_cap // pack + 1) * pack if pack > 1 else run_cap)
+
+
 def _working_set_guards(capacity: int, tile_cells: int, run_cap: int,
-                        select_impl: str, demote_pallas: bool = True):
+                        select_impl: str, demote_pallas: bool = True,
+                        pack: int = 1):
     """VMEM/HBM working-set guards (large k => capacity up to 256,
     M ~ 7k). Returns (tile_cells, select_impl), possibly reduced.
     ``demote_pallas=False`` skips the pallas->xla fallback (the moment
     kernel manages its own VMEM via an int32 scratch + chunked passes).
     """
-    m_width = 9 * run_cap
+    m_width = _cand_m(run_cap, pack)
     # pallas select keeps (block_cells, capacity, M) in VMEM; fall back to
     # the XLA path when even one cell's rows exceed the VMEM budget
     if (demote_pallas and select_impl == "pallas"
@@ -172,21 +205,25 @@ def _runs_table(grid: GridIndex, cells: CellTable,
     start_ext = jnp.concatenate(
         [jnp.where(cells.cell_id == PAD_ID, nv, cells.start),
          jnp.full((1,), 1, jnp.int32) * nv])
-    c_lo = jnp.searchsorted(cells.cell_id, run_lo_a, side="left",
-                            method="sort")
-    c_hi = jnp.searchsorted(cells.cell_id, run_hi_a + 1, side="left",
-                            method="sort")
-    rs_a = start_ext[c_lo]
-    re_a = start_ext[c_hi]
+    # ONE sort-based searchsorted for both boundaries (each method="sort"
+    # call pays a full concat+sort of keys+queries — ~1.2M elements here)
+    c_both = jnp.searchsorted(
+        cells.cell_id,
+        jnp.concatenate([run_lo_a, run_hi_a + 1], axis=1),
+        side="left", method="sort")
+    rs_a = start_ext[c_both[:, :9]]
+    re_a = start_ext[c_both[:, 9:]]
     run_len_a = jnp.where(ok_run_a, re_a - rs_a, 0)
     return rs_a, run_len_a
 
 
 def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
                     tile_cells: int, run_cap: int, select_impl: str,
-                    demote_pallas: bool = True):
+                    demote_pallas: bool = True, pack: int | None = None):
     """Shared prologue for the single-bucket cell loop: working-set
-    guards + runs table + tile padding.
+    guards + runs table + tile padding. ``pack`` must match the pack the
+    caller's tile body will fetch candidates with (the guards size M
+    from it); default is the packed fetch.
 
     Returns (tile_args, tile_cells, select_impl) where tile_args are the
     per-tile arrays reshaped to (num_tiles, tile_cells, ...).
@@ -194,7 +231,8 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     n = grid.sorted_points.shape[0]
     mc = cells.cell_id.shape[0]
     tile_cells, select_impl = _working_set_guards(
-        capacity, tile_cells, run_cap, select_impl, demote_pallas)
+        capacity, tile_cells, run_cap, select_impl, demote_pallas,
+        pack=_cand_pack(n) if pack is None else pack)
     pad_tiles = (-mc) % tile_cells
 
     cid = jnp.pad(cells.cell_id, (0, pad_tiles), constant_values=PAD_ID)
@@ -214,24 +252,39 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
 
 
 def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int,
-                     with_ids: bool = False):
+                     with_ids: bool = False, pack: int | None = None):
     """Candidate fetch + coverage radius for one tile of the cell loop.
 
-    Returns (cand (T,M) sorted rows, ok_cand (T,M), cpts (T,M,3),
-    qpts (T,C,3), qrow (T,C), ok_q (T,C), cover (T,C) guaranteed
-    coverage radius, run_overflow (T,), coords (T,3) cell coords).
+    Returns (cand (T,M) sorted rows, ok_cand (T,M), cpts per-axis
+    3-tuple of (T,M) arrays, qpts (T,C,3), qrow (T,C), ok_q (T,C),
+    cover (T,C) guaranteed coverage radius, run_overflow (T,),
+    coords (T,3) cell coords), with M = ``_cand_m(run_cap, pack)``.
+    Candidate coordinates come back as SEPARATE per-axis 2D arrays —
+    the select/moment kernels consume exactly that layout, and a packed
+    (T,M,3) intermediate would tile its trailing 3 onto 128 lanes (42×
+    padded traffic; measured 1.5 s/1M in the reshape alone).
+
+    ``pack`` (default ``_cand_pack(n)``): candidates are fetched
+    ``pack`` consecutive sorted points per gathered row — the gather is
+    row-count-bound on TPU (see ``_cand_pack``), and runs are
+    contiguous, so rounding each run to pack-group boundaries cuts the
+    row count ``pack``× for a ≤pack-element overfetch per run edge. The
+    M-axis candidate ORDER is unchanged (runs in offset order, ascending
+    rows within a run; group-alignment slack rides along masked
+    invalid), so winner sets AND first-argmin tie order are identical
+    to the unpacked layout.
 
     ``with_ids``: ``cand`` carries the candidates' ORIGINAL point ids
     instead of sorted rows, fetched in the SAME row gather as the
-    coordinates (a packed (n,4) array with grid.order in the 4th float
-    column). The separate per-winner `grid.order[rows]` gather — (N,k)
-    random elements, measured 0.9 s/1M vs +0.05 s for the wider rows
-    here — never happens. Self-exclusion against original ids is
-    equivalent (ids are unique). The id column is a NUMERIC f32 cast,
-    exact for ids < 2^24 — a bitcast would put small ids in the
-    denormal range, which TPU vector ops flush to zero (measured:
-    corrupted winners); clouds beyond 2^24 rows take the plain
-    per-winner gather instead (callers guard).
+    coordinates (grid.order rides as a 4th float channel). The separate
+    per-winner `grid.order[rows]` gather — (N,k) random elements,
+    measured 0.9 s/1M vs +0.05 s for the wider rows here — never
+    happens. Self-exclusion against original ids is equivalent (ids are
+    unique). The id channel is a NUMERIC f32 cast, exact for ids < 2^24
+    — a bitcast would put small ids in the denormal range, which TPU
+    vector ops flush to zero (measured: corrupted winners); clouds
+    beyond 2^24 rows take the plain per-winner gather instead (callers
+    guard).
     """
     n = grid.sorted_points.shape[0]
     dims = grid.dims
@@ -239,29 +292,69 @@ def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int,
     cell_id, start, count, rs, run_len, run_overflow = args   # (T, ...)
     T = cell_id.shape[0]
     ix, iy, iz = _decode(jnp.where(cell_id == PAD_ID, 0, cell_id))
-    # --- candidate rows: (T, 9, run_cap) sorted positions ---
-    slot = jnp.arange(run_cap, dtype=jnp.int32)
-    cand = jnp.minimum(rs[..., None] + slot, n - 1)
-    ok_cand = slot[None, None, :] < run_len[..., None]
-    cand = cand.reshape(T, 9 * run_cap)
-    ok_cand = ok_cand.reshape(T, 9 * run_cap)
+    if pack is None:
+        pack = _cand_pack(n)
     qrow = jnp.minimum(start[:, None] + jnp.arange(capacity,
                                                    dtype=jnp.int32), n - 1)
     ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
-    if with_ids:
-        packed = jnp.concatenate(
-            [grid.sorted_points,
-             grid.order.astype(jnp.float32)[:, None]], axis=1)   # (n, 4)
-        g = packed[cand]                                     # (T, M, 4)
-        cpts = g[..., :3]
-        cand = g[..., 3].astype(jnp.int32)
-        qrow_ids = grid.order[qrow]                          # (T, C): ~n/occ
+    if pack > 1:
+        # --- packed fetch: pack consecutive points per gathered row,
+        # channels GROUPED BY AXIS ([x·p | y·p | z·p | id·p]) so each
+        # axis extracts as one contiguous lane slice into a clean 2D
+        # (T, M) array — never materializing a trailing-3 tensor ---
+        ch = 4 if with_ids else 3
+        gc = run_cap // pack + 1           # groups per run
+        g0 = rs // pack                    # (T, 9) first group of each run
+        off = rs - g0 * pack               # run start within its group
+        grow = jnp.minimum(
+            g0[..., None] + jnp.arange(gc, dtype=jnp.int32)[None, None, :],
+            n // pack - 1)                                   # (T, 9, gc)
+        e = jnp.arange(gc * pack, dtype=jnp.int32)[None, None, :]
+        ok_cand = ((e >= off[..., None])
+                   & (e < off[..., None] + run_len[..., None]))
+        ok_cand = ok_cand.reshape(T, 9 * gc * pack)
+        cols = [grid.sorted_points]
+        if with_ids:
+            cols.append(grid.order.astype(jnp.float32)[:, None])
+        table = jnp.concatenate(cols, axis=1) if with_ids else cols[0]
+        table = table.reshape(n // pack, pack, ch).transpose(0, 2, 1)
+        table = table.reshape(n // pack, ch * pack)
+        g = table[grow.reshape(T, 9 * gc)]                   # (T,9gc,ch·pk)
+        m_axis = 9 * gc * pack
+
+        def lane(a):
+            return g[..., a * pack:(a + 1) * pack].reshape(T, m_axis)
+
+        cpts = (lane(0), lane(1), lane(2))
+        if with_ids:
+            cand = lane(3).astype(jnp.int32)
+            qrow_out = grid.order[qrow]                      # (T, C): ~n/occ
+        else:
+            cand = ((g0 * pack)[..., None] + e).reshape(T, m_axis)
+            qrow_out = qrow
         qpts = grid.sorted_points[qrow]
-        qrow_out = qrow_ids
     else:
-        cpts = grid.sorted_points[cand]                      # (T, M, 3)
-        qpts = grid.sorted_points[qrow]                      # (T, C, 3)
-        qrow_out = qrow
+        # --- candidate rows: (T, 9, run_cap) sorted positions ---
+        slot = jnp.arange(run_cap, dtype=jnp.int32)
+        cand = jnp.minimum(rs[..., None] + slot, n - 1)
+        ok_cand = slot[None, None, :] < run_len[..., None]
+        cand = cand.reshape(T, 9 * run_cap)
+        ok_cand = ok_cand.reshape(T, 9 * run_cap)
+        if with_ids:
+            packed = jnp.concatenate(
+                [grid.sorted_points,
+                 grid.order.astype(jnp.float32)[:, None]], axis=1)   # (n, 4)
+            g = packed[cand]                                 # (T, M, 4)
+            cpts = (g[..., 0], g[..., 1], g[..., 2])
+            cand = g[..., 3].astype(jnp.int32)
+            qrow_ids = grid.order[qrow]                      # (T, C): ~n/occ
+            qpts = grid.sorted_points[qrow]
+            qrow_out = qrow_ids
+        else:
+            g = grid.sorted_points[cand]                     # (T, M, 3)
+            cpts = (g[..., 0], g[..., 1], g[..., 2])
+            qpts = grid.sorted_points[qrow]                  # (T, C, 3)
+            qrow_out = qrow
     # --- per-query coverage radius within the 3³ window ---
     coords = jnp.stack([ix, iy, iz], axis=-1)                # (T, 3)
     lo_edge = grid.origin[None, :] + (coords - 1).astype(jnp.float32) \
@@ -279,13 +372,14 @@ def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int,
 
 def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
                  select_impl: str, want: str = "pos",
-                 with_ids: bool = False):
+                 with_ids: bool = False, pack: int | None = None):
     """One tile of the cell loop: candidate fetch + fused k-selection.
 
     Returns (win, dists (T,C,k) ascending, found (T,C,k), cand (T,M)
-    candidate sorted rows, cpts (T,M,3) candidate coords, qpts (T,C,3),
-    qrow (T,C), ok_q (T,C) real-query mask, exact (T,C) coverage
-    certificate), where ``win`` depends on ``want``:
+    candidate sorted rows, cpts per-axis 3-tuple of (T,M) candidate
+    coords, qpts (T,C,3), qrow (T,C), ok_q (T,C) real-query mask,
+    exact (T,C) coverage certificate), where ``win`` depends on
+    ``want``:
 
     - "pos":    (T,C,k) winner positions in the M candidate axis
     - "rows":   (T,C,k) winner GLOBAL sorted-row ids (== cand[pos]);
@@ -301,7 +395,8 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
     """
     inf = jnp.float32(jnp.inf)
     cand, ok_cand, cpts, qpts, qrow, ok_q, cover, run_overflow, coords = \
-        _tile_candidates(grid, args, capacity, run_cap, with_ids=with_ids)
+        _tile_candidates(grid, args, capacity, run_cap, with_ids=with_ids,
+                         pack=pack)
     T = cand.shape[0]
     pos = None
     win = None
@@ -326,9 +421,10 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
         found = dists < 1e18     # kernel backs missing slots with ~3e38
     else:
         # --- XLA path: MXU distance expansion in cell-local coords ---
+        cpts3 = jnp.stack(cpts, axis=-1)                     # (T, M, 3)
         corner = grid.origin[None, :] + grid.cell_size \
             * coords.astype(jnp.float32)                     # (T, 3)
-        cpts_l = cpts - corner[:, None, :]
+        cpts_l = cpts3 - corner[:, None, :]
         qpts_l = qpts - corner[:, None, :]
         q2 = jnp.sum(qpts_l * qpts_l, axis=-1)               # (T, C)
         c2 = jnp.sum(cpts_l * cpts_l, axis=-1)               # (T, M)
@@ -350,7 +446,8 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
     if win is None and want != "pos":
         if want == "coords":
             win = jnp.take_along_axis(
-                cpts, pos.reshape(T, -1)[:, :, None], axis=1
+                jnp.stack(cpts, axis=-1),
+                pos.reshape(T, -1)[:, :, None], axis=1
             ).reshape(T, capacity, k, 3)
         else:  # rows
             t_ix = jnp.arange(T, dtype=jnp.int32)[:, None, None]
@@ -584,8 +681,12 @@ def cellwise_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
     kth (tc,C), qrow (tc,C), ok_q (tc,C))``.
     """
     def one_tile(args):
+        # pack=1: on this path the packed fetch LOSES — the select kernel
+        # is cheap here and the per-axis unpack relayout dominates
+        # (measured 0.626 -> 1.51 s/1M at k=20; see _cand_pack)
         nbrs, dists, found, _, _, qpts, qrow, ok_q, exact = _tile_select(
-            grid, args, k, capacity, run_cap, select_impl, want="coords")
+            grid, args, k, capacity, run_cap, select_impl, want="coords",
+            pack=1)
         centered = nbrs - qpts[:, :, None, :]
         out = fn(centered, found)
         return out, exact & ok_q, dists[..., k - 1], qrow, ok_q
@@ -629,7 +730,8 @@ def apply_cellwise(
         run_cap = 3 * capacity
     tile_args, tile_cells, select_impl = _cellwise_setup(
         grid, cells, capacity, tile_cells, run_cap, select_impl,
-        demote_pallas=runner is cellwise_tile_runner)
+        demote_pallas=runner is cellwise_tile_runner,
+        pack=1 if runner is cellwise_tile_runner else None)
 
     one_tile = runner(grid, k, capacity, run_cap, select_impl, fn)
     if runner is moments_tile_runner and select_impl == "pallas":
@@ -718,7 +820,7 @@ def _bucket_tables(grid: GridIndex, cells: CellTable,
 def bucketed_tile_args(grid: GridIndex, cells: CellTable,
                        spec: tuple[BucketSpec, ...], tile_cells: int,
                        select_impl: str, pad_tiles_to: int = 1,
-                       demote_pallas: bool = True):
+                       demote_pallas: bool = True, pack: int | None = None):
     """Per-bucket tile arguments for the bucketed cell loop.
 
     Returns a list of (BucketSpec, tile_args, select_impl) — one entry
@@ -732,7 +834,8 @@ def bucketed_tile_args(grid: GridIndex, cells: CellTable,
     out = []
     for sp, (cid_b, start_b, count_b, rs_b, rl_b, lost) in zip(spec, tables):
         tc_b, impl_b = _working_set_guards(
-            sp.capacity, tile_cells, sp.run_cap, select_impl, demote_pallas)
+            sp.capacity, tile_cells, sp.run_cap, select_impl, demote_pallas,
+            pack=_cand_pack(n) if pack is None else pack)
         overflow_b = jnp.any(rl_b > sp.run_cap, axis=1) | lost
         rl_b = jnp.minimum(rl_b, sp.run_cap)
         pad = (-sp.max_cells) % tc_b
@@ -788,7 +891,8 @@ def apply_cellwise_bucketed(
     outs, exacts, kths, dests = [], [], [], []
     for sp, tile_args, impl_b in bucketed_tile_args(
             grid, cells, spec, tile_cells, select_impl,
-            demote_pallas=runner is cellwise_tile_runner):
+            demote_pallas=runner is cellwise_tile_runner,
+            pack=1 if runner is cellwise_tile_runner else None):
         one_tile = runner(grid, k, sp.capacity, sp.run_cap, impl_b, fn)
         if runner is moments_tile_runner and impl_b == "pallas":
             # single pallas call over all of this bucket's cells (see

@@ -207,6 +207,8 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
     multiple of ``chunk`` (pad slots invalid).
     """
     del block_cells  # one cell-tile per program (the d² scratch is C·M)
+    from pct_tpu.ops.pallas_select import _axes3
+
     t, c, _ = qpts.shape
     # pad the query axis to a sublane multiple: Mosaic compiles odd C
     # catastrophically slowly (measured: C=266 113 s vs C=272 ~2 s)
@@ -215,11 +217,13 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
         qpts = jnp.pad(qpts, ((0, 0), (0, pad_c), (0, 0)))
         qrow = jnp.pad(qrow, ((0, 0), (0, pad_c)), constant_values=-1)
     cp = c + pad_c
-    m = cpts.shape[1]
+    px, py, pz = _axes3(cpts)
+    m = px.shape[1]
     chunk = min(chunk, ((m + 127) // 128) * 128)
     pad_m = (-m) % chunk
     if pad_m:
-        cpts = jnp.pad(cpts, ((0, 0), (0, pad_m), (0, 0)))
+        px, py, pz = (jnp.pad(a, ((0, 0), (0, pad_m)))
+                      for a in (px, py, pz))
         cand = jnp.pad(cand, ((0, 0), (0, pad_m)), constant_values=-2)
         valid = jnp.pad(valid, ((0, 0), (0, pad_m)))
     mp = m + pad_m
@@ -250,7 +254,7 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qpts[:, None, :, 0], qpts[:, None, :, 1], qpts[:, None, :, 2],
-      as_g(cpts[..., 0]), as_g(cpts[..., 1]), as_g(cpts[..., 2]),
+      as_g(px), as_g(py), as_g(pz),
       as_g(cand), qrow[:, None, :], as_g(valid))
     return out[:, :c]
 
@@ -273,11 +277,14 @@ def knn_moments_xla(qpts, cpts, cand, qrow, valid, k: int):
     """XLA reference of the kernel's semantics (exact kth via top_k; the
     d² math is the same world-coordinate difference form, so outputs
     match the kernel bit-for-bit up to compiler fusion)."""
+    from pct_tpu.ops.pallas_select import _axes3
+
     t, c, _ = qpts.shape
-    m = cpts.shape[1]
-    dx = qpts[:, :, None, 0] - cpts[:, None, :, 0]
-    dy = qpts[:, :, None, 1] - cpts[:, None, :, 1]
-    dz = qpts[:, :, None, 2] - cpts[:, None, :, 2]
+    px, py, pz = _axes3(cpts)
+    m = px.shape[1]
+    dx = qpts[:, :, None, 0] - px[:, None, :]
+    dy = qpts[:, :, None, 1] - py[:, None, :]
+    dz = qpts[:, :, None, 2] - pz[:, None, :]
     d2 = dx * dx + dy * dy + dz * dz
     ok = (valid[:, None, :] > 0) & (cand[:, None, :] != qrow[:, :, None])
     d2 = jnp.where(ok, d2, _SENT)
@@ -301,7 +308,7 @@ def knn_moments_xla(qpts, cpts, cand, qrow, valid, k: int):
     w_tie = jnp.clip((k - count_lt) / count_eq, 0.0, 1.0)
     w = (jnp.where(d2 < tau[..., None], 1.0, 0.0)
          + jnp.where(d2 == tau[..., None], 1.0, 0.0) * w_tie[..., None])
-    r = cpts[:, None, :, :] - qpts[:, :, None, :]
+    r = -jnp.stack([dx, dy, dz], axis=-1)  # candidate - query, per axis
     iota = jnp.arange(m)
     am_n = jnp.argmin(d2, axis=-1)
     near = jnp.take_along_axis(r, am_n[..., None, None].repeat(3, -1),

@@ -36,6 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = 3.0e38  # python scalar: jnp constants cannot be captured by kernels
 
 
+def _axes3(a):
+    """Per-axis (.., M) views of (..., 3) coords or an already-split
+    3-tuple. Callers in the packed cell loop pass the tuple form — a
+    (T,M,3) intermediate would tile its trailing 3 onto 128 lanes."""
+    if isinstance(a, (tuple, list)):
+        return a
+    return a[..., 0], a[..., 1], a[..., 2]
+
+
 def _select_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
                    cand_ref, qrow_ref, len_ref,
                    dist_ref, pos_ref, *, k: int):
@@ -145,14 +154,15 @@ def _select_rows_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
 def knn_select_rows(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
                     qrow: jax.Array, valid: jax.Array, k: int,
                     block_cells: int = 8, interpret: bool = False):
-    """(T,C,3) queries vs (T,M,3) candidates ->
+    """(T,C,3) queries vs (T,M,3)-or-per-axis-tuple candidates ->
     (dists (T,C,k), rows (T,C,k) winner sorted-row ids == cand[pos])."""
     t, c, _ = qpts.shape
-    m = cpts.shape[1]
+    px, py, pz = _axes3(cpts)
+    m = px.shape[1]
     pad_t = (-t) % block_cells
     if pad_t:
         qpts = jnp.pad(qpts, ((0, pad_t), (0, 0), (0, 0)))
-        cpts = jnp.pad(cpts, ((0, pad_t), (0, 0), (0, 0)))
+        px, py, pz = (jnp.pad(a, ((0, pad_t), (0, 0))) for a in (px, py, pz))
         cand = jnp.pad(cand, ((0, pad_t), (0, 0)), constant_values=-2)
         qrow = jnp.pad(qrow, ((0, pad_t), (0, 0)), constant_values=-1)
         valid = jnp.pad(valid, ((0, pad_t), (0, 0)))
@@ -186,8 +196,7 @@ def knn_select_rows(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
             jax.ShapeDtypeStruct((tp, c, k), jnp.int32),
         ),
         interpret=interpret,
-    )(qpts[..., 0], qpts[..., 1], qpts[..., 2],
-      cpts[..., 0], cpts[..., 1], cpts[..., 2],
+    )(qpts[..., 0], qpts[..., 1], qpts[..., 2], px, py, pz,
       cand, qrow, valid)
     return dists[:t], rows[:t]
 
@@ -196,17 +205,18 @@ def knn_select_rows(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
 def knn_select_coords(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
                       qrow: jax.Array, valid: jax.Array, k: int,
                       block_cells: int = 8, interpret: bool = False):
-    """(T,C,3) queries vs (T,M,3) candidates ->
+    """(T,C,3) queries vs (T,M,3)-or-per-axis-tuple candidates ->
     (dists (T,C,k), nbrs (T,C,k,3) winner coordinates).
 
     Same selection semantics as knn_select; see _select_coords_kernel.
     """
     t, c, _ = qpts.shape
-    m = cpts.shape[1]
+    px, py, pz = _axes3(cpts)
+    m = px.shape[1]
     pad_t = (-t) % block_cells
     if pad_t:
         qpts = jnp.pad(qpts, ((0, pad_t), (0, 0), (0, 0)))
-        cpts = jnp.pad(cpts, ((0, pad_t), (0, 0), (0, 0)))
+        px, py, pz = (jnp.pad(a, ((0, pad_t), (0, 0))) for a in (px, py, pz))
         cand = jnp.pad(cand, ((0, pad_t), (0, 0)), constant_values=-2)
         qrow = jnp.pad(qrow, ((0, pad_t), (0, 0)), constant_values=-1)
         valid = jnp.pad(valid, ((0, pad_t), (0, 0)))
@@ -237,8 +247,7 @@ def knn_select_coords(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
         out_shape=tuple(
             jax.ShapeDtypeStruct((tp, c, k), jnp.float32) for _ in range(4)),
         interpret=interpret,
-    )(qpts[..., 0], qpts[..., 1], qpts[..., 2],
-      cpts[..., 0], cpts[..., 1], cpts[..., 2],
+    )(qpts[..., 0], qpts[..., 1], qpts[..., 2], px, py, pz,
       cand, qrow, valid)
     nbrs = jnp.stack([nx[:t], ny[:t], nz[:t]], axis=-1)
     return dists[:t], nbrs
@@ -248,18 +257,20 @@ def knn_select_coords(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
 def knn_select(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
                qrow: jax.Array, valid: jax.Array, k: int,
                block_cells: int = 8, interpret: bool = False):
-    """(T,C,3) queries vs (T,M,3) candidates -> (dists (T,C,k), pos (T,C,k)).
+    """(T,C,3) queries vs (T,M,3)-or-per-axis-tuple candidates ->
+    (dists (T,C,k), pos (T,C,k)).
 
     ``valid``: (T, M) int32 nonzero where the candidate slot is real.
     Rows with fewer than k valid candidates get _INF-backed entries
     (caller detects via isfinite of the returned distance).
     """
     t, c, _ = qpts.shape
-    m = cpts.shape[1]
+    px, py, pz = _axes3(cpts)
+    m = px.shape[1]
     pad_t = (-t) % block_cells
     if pad_t:
         qpts = jnp.pad(qpts, ((0, pad_t), (0, 0), (0, 0)))
-        cpts = jnp.pad(cpts, ((0, pad_t), (0, 0), (0, 0)))
+        px, py, pz = (jnp.pad(a, ((0, pad_t), (0, 0))) for a in (px, py, pz))
         cand = jnp.pad(cand, ((0, pad_t), (0, 0)), constant_values=-2)
         qrow = jnp.pad(qrow, ((0, pad_t), (0, 0)), constant_values=-1)
         valid = jnp.pad(valid, ((0, pad_t), (0, 0)))
@@ -293,7 +304,6 @@ def knn_select(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
             jax.ShapeDtypeStruct((tp, c, k), jnp.int32),
         ),
         interpret=interpret,
-    )(qpts[..., 0], qpts[..., 1], qpts[..., 2],
-      cpts[..., 0], cpts[..., 1], cpts[..., 2],
+    )(qpts[..., 0], qpts[..., 1], qpts[..., 2], px, py, pz,
       cand, qrow, valid)
     return dists[:t], pos[:t]

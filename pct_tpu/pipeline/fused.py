@@ -165,7 +165,7 @@ def _fused_curvature_jit(
 _MOMENT_PRIMED: set = set()
 
 
-def _prime_moment_kernels(dtype, spec, k: int):
+def _prime_moment_kernels(dtype, spec, k: int, pack: int = 1):
     """Pre-compile each bucket's moment kernel standalone at its exact
     in-program shapes (zeros inputs, seconds each). Empirically the same
     kernels compiled INSIDE the 1M whole-program XLA compile never
@@ -179,14 +179,15 @@ def _prime_moment_kernels(dtype, spec, k: int):
 
     if jax.default_backend() == "cpu":
         return
-    key = (jnp.dtype(dtype).name, tuple(spec), int(k))
+    key = (jnp.dtype(dtype).name, tuple(spec), int(k), int(pack))
     if key in _MOMENT_PRIMED:
         return
+    from pct_tpu.neighbors.cellknn import _cand_m
     from pct_tpu.ops.pallas_moments import knn_moments
 
     for sp in spec:
         t_cells = sp.max_cells
-        m = 9 * sp.run_cap
+        m = _cand_m(sp.run_cap, pack)
         z3 = jnp.zeros((t_cells, sp.capacity, 3), dtype)
         c3 = jnp.zeros((t_cells, m, 3), dtype)
         icand = jnp.full((t_cells, m), -2, jnp.int32)
@@ -222,7 +223,10 @@ def fused_curvature(
     argument contract.
     """
     if engine == "moments" and bucket_spec is not None:
-        _prime_moment_kernels(points.dtype, bucket_spec, k)
+        from pct_tpu.neighbors.cellknn import _cand_pack
+
+        _prime_moment_kernels(points.dtype, bucket_spec, k,
+                              pack=_cand_pack(points.shape[0]))
     return _fused_curvature_jit(
         points, num_points, cell_size, k=k, capacity=capacity,
         max_cells=max_cells, tile_cells=tile_cells, run_cap=run_cap,
@@ -275,6 +279,7 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
         # engine, not just when the select working set overflows
         return moments_route()
     spec, mc = probe_grid_buckets(grid, capacity_cap=max(256, 4 * k))
+    # select path runs unpacked (cellwise_tile_runner pins pack=1)
     select_ok = all(sp.capacity * 9 * sp.run_cap * 4 * 3 <= 10 << 20
                     for sp in spec)
     if not select_ok:

@@ -78,7 +78,8 @@ def main():
                 if with_gather:
                     T = pos.shape[0]
                     nbrs = jnp.take_along_axis(
-                        cpts, pos.reshape(T, -1)[:, :, None], axis=1
+                        jnp.stack(cpts, axis=-1),
+                        pos.reshape(T, -1)[:, :, None], axis=1
                     ).reshape(T, capacity, K, 3)
                     return (jnp.sum(nbrs) + jnp.sum(dists)
                             + jnp.sum(exact))

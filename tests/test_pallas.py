@@ -36,7 +36,11 @@ def test_knn_select_matches_numpy(rng):
 
 def test_knn_select_coords_matches_select(rng):
     """The coords-emitting kernel must pick the same winners as the
-    position-emitting kernel and return exactly cpts[pos]."""
+    position-emitting kernel and return real candidate coordinates.
+    (Distances compared allclose rather than bitwise — in interpret
+    mode each kernel's d² inlines into a DIFFERENT enclosing XLA
+    program, whose FMA contraction choices can differ by 1 ulp; same
+    caveat as test_knn_select_rows_matches_numpy.)"""
     from pct_tpu.ops.pallas_select import knn_select_coords
 
     T, C, M, K = 6, 8, 48, 5
@@ -51,9 +55,17 @@ def test_knn_select_coords_matches_select(rng):
     dc, nbrs = knn_select_coords(
         jnp.asarray(q), jnp.asarray(p), jnp.asarray(cand),
         jnp.asarray(qrow), jnp.asarray(valid), K, interpret=True)
-    np.testing.assert_array_equal(np.asarray(dc), np.asarray(d))
-    want = p[np.arange(T)[:, None, None], np.asarray(pos)]
-    np.testing.assert_array_equal(np.asarray(nbrs), want)
+    d, dc, nbrs = np.asarray(d), np.asarray(dc), np.asarray(nbrs)
+    found = dc < 1e18
+    np.testing.assert_allclose(dc[found], d[found], rtol=2e-6, atol=0)
+    assert (dc[~found] > 1e18).all() and (d[~found] > 1e18).all()
+    # every returned neighbor is bitwise SOME candidate point of its tile
+    member = (nbrs[:, :, :, None, :] == p[:, None, None, :, :]).all(-1)
+    assert member.any(-1).all()
+    # ... and the kernel's distance is the distance to that neighbor
+    recomputed = np.sqrt(((nbrs - q[:, :, None, :]) ** 2).sum(-1))
+    np.testing.assert_allclose(recomputed[found], dc[found],
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_knn_select_rows_matches_numpy(rng):

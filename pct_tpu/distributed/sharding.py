@@ -41,6 +41,7 @@ from pct_tpu.curvature.explicit import Curvatures
 from pct_tpu.neighbors.cellknn import (
     bucketed_tile_args,
     _cellwise_setup,
+    _scatter_outputs,
     cellwise_tile_runner,
     compact_cells,
     default_max_cells,
@@ -208,18 +209,10 @@ def sharded_curvature(
     (curv, normals), exact, kth, qrow, ok_q, stats = shard_fn(grid, all_args)
 
     # final scatter to the caller's original point order (replicated
-    # compute, one pass) — identical to apply_cellwise's epilogue
+    # compute, ONE row scatter for all outputs) — identical to
+    # apply_cellwise's epilogue
     dest = jnp.where(ok_q, grid.order[qrow], n)
-
-    def scatter(a):
-        return jnp.zeros((n,) + a.shape[1:], a.dtype).at[dest].set(
-            a, mode="drop")
-
-    return ShardedResult(
-        curv=Curvatures(*[scatter(c) for c in curv]),
-        normals=scatter(normals),
-        exact=jnp.zeros((n,), bool).at[dest].set(
-            exact & (~cells.overflow), mode="drop"),
-        kth_dist=jnp.zeros((n,), jnp.float32).at[dest].set(kth, mode="drop"),
-        stats=stats,
-    )
+    (curv_n, normals_n), exact_n, kth_n = _scatter_outputs(
+        n, dest, (curv, normals), exact & (~cells.overflow), kth)
+    return ShardedResult(curv=curv_n, normals=normals_n, exact=exact_n,
+                         kth_dist=kth_n, stats=stats)

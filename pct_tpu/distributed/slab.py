@@ -39,6 +39,7 @@ from pct_tpu.curvature.explicit import Curvatures
 from pct_tpu.distributed.sharding import POINTS_AXIS, make_mesh  # noqa: F401
 from pct_tpu.neighbors.cellknn import (
     _cellwise_setup,
+    _scatter_outputs,
     cellwise_tile_runner,
     compact_cells,
     default_max_cells,
@@ -166,22 +167,15 @@ def slab_curvature(
         out, exact_t, kth_t, qrow_t, ok_q_t = jax.lax.map(one_tile, tile_args)
         (curv_t, normal_t) = out
 
-        # scatter tile outputs to LOCAL-POSITION order (0..local_n)
+        # scatter tile outputs to LOCAL-POSITION order (0..local_n) —
+        # one row scatter for all outputs (see _scatter_outputs)
         flat = lambda a: a.reshape((-1,) + a.shape[3:])
         qrow_f, ok_f = flat(qrow_t), flat(ok_q_t)
         dest = jnp.where(ok_f, lgrid.order[qrow_f], local_n)
-
-        def scatter(a):
-            a = a.reshape((-1,) + a.shape[3:])
-            return jnp.zeros((local_n,) + a.shape[1:], a.dtype).at[dest].set(
-                a, mode="drop")
-
-        curv_l = Curvatures(*[scatter(c) for c in curv_t])
-        normal_l = scatter(normal_t)
-        exact_l = jnp.zeros((local_n,), bool).at[dest].set(
-            flat(exact_t) & (~cells_l.overflow), mode="drop")
-        kth_l = jnp.zeros((local_n,), jnp.float32).at[dest].set(
-            flat(kth_t), mode="drop")
+        (curv_l, normal_l), exact_l, kth_l = _scatter_outputs(
+            local_n, dest,
+            (jax.tree_util.tree_map(flat, curv_t), flat(normal_t)),
+            flat(exact_t) & (~cells_l.overflow), flat(kth_t))
 
         # keep the slab's own rows (drop halo rows)
         sl = lambda a: a[halo:halo + slab_pts.shape[0]]

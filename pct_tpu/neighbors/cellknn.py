@@ -140,11 +140,22 @@ def _cand_pack(n: int) -> int:
     return 8 if n % 8 == 0 else 1
 
 
+def _cand_groups(run_cap: int, pack: int) -> int:
+    """Groups per run: a run starts anywhere within its first group
+    (offset ≤ pack-1), so gc·pack must cover pack-1 + run_cap slots —
+    gc = ceil((run_cap + pack - 1) / pack). For 8-aligned run_caps at
+    pack=8 this equals the naive run_cap//pack + 1; for pack > 8 with a
+    non-multiple run_cap the naive form UNDER-allocates (run_cap=72,
+    pack=16: 5 groups = 80 slots < the worst-case 87) and would silently
+    truncate runs."""
+    return (run_cap + 2 * pack - 2) // pack
+
+
 def _cand_m(run_cap: int, pack: int) -> int:
     """Candidate-axis width M for a run cap and packing factor: packed
     runs round to group boundaries, widening M from 9·run_cap to
-    9·(run_cap + pack)."""
-    return 9 * ((run_cap // pack + 1) * pack if pack > 1 else run_cap)
+    ~9·(run_cap + pack)."""
+    return 9 * (_cand_groups(run_cap, pack) * pack if pack > 1 else run_cap)
 
 
 def _working_set_guards(capacity: int, tile_cells: int, run_cap: int,
@@ -303,7 +314,7 @@ def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int,
         # axis extracts as one contiguous lane slice into a clean 2D
         # (T, M) array — never materializing a trailing-3 tensor ---
         ch = 4 if with_ids else 3
-        gc = run_cap // pack + 1           # groups per run
+        gc = _cand_groups(run_cap, pack)   # groups per run
         g0 = rs // pack                    # (T, 9) first group of each run
         off = rs - g0 * pack               # run start within its group
         grow = jnp.minimum(
@@ -752,17 +763,49 @@ def apply_cellwise(
     qrow, ok_q = flat(qrow), flat(ok_q)
     dest_rows = grid.order[qrow] if dest_order == "original" else qrow
     dest = jnp.where(ok_q, dest_rows, n)
+    return _scatter_outputs(n, dest, jax.tree_util.tree_map(flat, out),
+                            exact & (~cells.overflow), kth)
 
-    def scatter(a):
-        a = flat(a)
-        return jnp.zeros((n,) + a.shape[1:], a.dtype).at[dest].set(
-            a, mode="drop")
 
-    out_n = jax.tree_util.tree_map(scatter, out)
-    exact_n = jnp.zeros((n,), bool).at[dest].set(
-        exact & (~cells.overflow), mode="drop")
-    kth_n = jnp.zeros((n,), jnp.float32).at[dest].set(kth, mode="drop")
-    return out_n, exact_n, kth_n
+def _scatter_outputs(n: int, dest, out, exact, kth):
+    """Scatter every per-query output to its (n,) destination in ONE
+    row scatter.
+
+    The naive per-leaf ``zeros(n, ...).at[dest].set`` costs a full
+    scatter pass over ~n rows PER LEAF — 8 passes for the fused
+    pipeline (5 curvature fields, (·,3) normals, exact, kth), ~15% of
+    the 1M k=20 wall time. All float32 leaves (plus the bool ``exact``,
+    ridden as a 0/1 f32 column) pack into one (rows, D) slab scattered
+    once; columns are sliced back out (fused views, no extra pass).
+    Leaves of other dtypes — none on the hot paths — scatter
+    individually. Dropped/invalid rows (dest == n) zero-fill exactly as
+    the per-leaf scatters did.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(out)
+    rows = exact.shape[0]
+    packed = [exact.astype(jnp.float32)[:, None], kth[:, None]]
+    spans = []                      # (leaf idx, col start, trailing shape, w)
+    col = 2
+    for i, a in enumerate(leaves):
+        if a.dtype == jnp.float32:
+            f = a.reshape(rows, -1)
+            packed.append(f)
+            spans.append((i, col, a.shape[1:], f.shape[1]))
+            col += f.shape[1]
+    slab = jnp.concatenate(packed, axis=1) if len(packed) > 1 else packed[0]
+    slab_n = jnp.zeros((n, slab.shape[1]), jnp.float32).at[dest].set(
+        slab, mode="drop")
+    exact_n = slab_n[:, 0] > 0.5
+    kth_n = slab_n[:, 1]
+    new_leaves = list(leaves)
+    for i, s, shp, w in spans:
+        new_leaves[i] = slab_n[:, s:s + w].reshape((n,) + shp)
+    for i, a in enumerate(leaves):
+        if a.dtype != jnp.float32:
+            new_leaves[i] = jnp.zeros((n,) + a.shape[1:], a.dtype).at[
+                dest].set(a, mode="drop")
+    return (jax.tree_util.tree_unflatten(treedef, new_leaves), exact_n,
+            kth_n)
 
 
 class BucketSpec(NamedTuple):
@@ -917,16 +960,7 @@ def apply_cellwise_bucketed(
     exact = jnp.concatenate(exacts)
     kth = jnp.concatenate(kths)
     out = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
-
-    def scatter(a):
-        return jnp.zeros((n,) + a.shape[1:], a.dtype).at[dest].set(
-            a, mode="drop")
-
-    out_n = jax.tree_util.tree_map(scatter, out)
-    exact_n = jnp.zeros((n,), bool).at[dest].set(
-        exact & (~cells.overflow), mode="drop")
-    kth_n = jnp.zeros((n,), jnp.float32).at[dest].set(kth, mode="drop")
-    return out_n, exact_n, kth_n
+    return _scatter_outputs(n, dest, out, exact & (~cells.overflow), kth)
 
 
 def default_max_cells(n: int, k: int, tile_cells: int = 128) -> int:

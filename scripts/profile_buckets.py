@@ -73,8 +73,10 @@ def main():
                                                     dtype=jnp.int32), n - 1)
                     qpts = g.sorted_points[qrow]
                     return jnp.sum(cpts) + jnp.sum(qpts)
+                # pack=1 matches the headline cellwise_tile_runner path
                 pos, dists, found, _, cpts, qpts, qrow, ok_q, exact = \
-                    _tile_select(g, args, K, capacity, run_cap, impl)
+                    _tile_select(g, args, K, capacity, run_cap, impl,
+                                 pack=1)
                 if with_gather:
                     T = pos.shape[0]
                     nbrs = jnp.take_along_axis(

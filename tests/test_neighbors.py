@@ -135,6 +135,47 @@ def test_knn_cellwise_bucketed_matches_single(lean):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("pack", [16, 32])
+def test_knn_cellwise_bucketed_larger_packs(pack, monkeypatch):
+    """Candidate packing at pack > 8 must reproduce pack=8 results
+    bit-exactly. Regression for the group-count formula: the naive
+    run_cap//pack + 1 under-allocates when run_cap is NOT a multiple of
+    pack (probe run_caps are 8-aligned, e.g. 24 or 72), silently
+    truncating run tails — ``_cand_groups`` covers the worst-case run
+    offset."""
+    from pct_tpu.neighbors import cellknn
+    from pct_tpu.neighbors.cellknn import (
+        compact_cells,
+        knn_cellwise_bucketed,
+        probe_grid_buckets,
+    )
+
+    rng = np.random.default_rng(9)
+    a, _ = generate_shape("torus", 3000, radius=1.0)
+    b = rng.standard_normal((1000, 3)).astype(np.float32) * 0.05
+    pts = np.concatenate([a, b]).astype(np.float32)
+    cloud = from_numpy(pts)
+    n = pts.shape[0]
+    k = 12
+    cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    spec, mcb = probe_grid_buckets(grid)
+    assert any(sp.run_cap % pack for sp in spec), \
+        "fixture must exercise a run_cap that is not a multiple of pack"
+    cells_b = compact_cells(grid, mcb)
+    base = knn_cellwise_bucketed(grid, cells_b, k, tuple(spec))
+    monkeypatch.setattr(cellknn, "_cand_pack",
+                        lambda m, _p=pack: _p if m % _p == 0 else 1)
+    assert grid.sorted_points.shape[0] % pack == 0
+    packed = knn_cellwise_bucketed(grid, cells_b, k, tuple(spec))
+    np.testing.assert_array_equal(np.asarray(packed.indices)[:n],
+                                  np.asarray(base.indices)[:n])
+    np.testing.assert_array_equal(np.asarray(packed.dists)[:n],
+                                  np.asarray(base.dists)[:n])
+    np.testing.assert_array_equal(np.asarray(packed.exact)[:n],
+                                  np.asarray(base.exact)[:n])
+
+
 def test_grid_query_external_points():
     pts, _ = generate_shape("torus", 3000, radius=1.0)
     cloud = from_numpy(pts)

@@ -6,9 +6,12 @@ table → +candidate gather+select → full fused chain); successive
 differences approximate per-stage cost. Diagnostic tool, not a benchmark.
 """
 
+import sys
 import time
 
-import numpy as np
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
 
 
 def timeit(fn, sync, n=3):

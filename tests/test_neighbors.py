@@ -210,3 +210,41 @@ def test_mean_nn_distance():
     dd, _ = tree.query(pts, k=2)
     ref = dd[:, 1].mean()
     assert np.isclose(d, ref, rtol=0.15)
+
+
+def test_runs_table_dense_matches_sort_branch():
+    """The dense direct-addressed runs table must reproduce the sort-based
+    searchsorted EXACTLY — including on a split_cells table, whose
+    DUPLICATE cell ids must resolve to the first copy (side="left"
+    semantics; the dense branch gets this from a scatter-min)."""
+    import jax
+
+    from pct_tpu.neighbors.cellknn import (_runs_table, compact_cells,
+                                           split_cells)
+
+    pts, _ = generate_shape("sphere", 4000, radius=1.0)
+    rng = np.random.default_rng(3)
+    pts = pts + 1e-4 * rng.standard_normal(pts.shape).astype(np.float32)
+    cloud = from_numpy(pts)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, 60)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    n = grid.sorted_points.shape[0]
+
+    for cells in (compact_cells(grid, 1024),
+                  split_cells(compact_cells(grid, 1024), n, 16, 8)):
+        rs, rl = jax.jit(_runs_table)(grid, cells)
+
+        # force the sort branch by making the dense cap unaffordable:
+        # monkeypatch DENSE_CELLS down so total > dense_cap
+        import pct_tpu.neighbors.cellknn as ck
+
+        saved = ck.DENSE_CELLS
+        try:
+            ck.DENSE_CELLS = 1
+            rs2, rl2 = jax.jit(_runs_table)(grid, cells)
+        finally:
+            ck.DENSE_CELLS = saved
+        np.testing.assert_array_equal(np.asarray(rl), np.asarray(rl2))
+        # run starts only matter where the run is non-empty
+        nz = np.asarray(rl) > 0
+        np.testing.assert_array_equal(np.asarray(rs)[nz], np.asarray(rs2)[nz])

@@ -271,20 +271,29 @@ def covariance_from_moments(m: jax.Array) -> jax.Array:
 
 def curvature_from_moments_chunked(m: jax.Array, sigma: jax.Array,
                                    nearest: jax.Array, kth_pt: jax.Array,
-                                   chunk: int = 16384):
+                                   chunk: int = 16384,
+                                   rotation: str = "symbolic"):
     """``curvature_from_moments`` in N-chunks via ``lax.map``.
 
-    The rotation contraction's intermediates carry trailing (3,...,3)
+    The contraction rotation's intermediates carry trailing (3,...,3)
     dims that XLA's TPU layout tiles to (4,128) — a 57× inflation that
     materialized the (N,3,3,3,3) M4 tensor at 19.3 GB for N=1M and
     OOM'd the 16 GB HBM (round-2 bench failure). Chunking bounds every
     such buffer to ~chunk·9·512·4 B ≈ 300 MB at the default chunk while
     tracing the body once; results match the unchunked call up to
     fusion-order FP rounding (pad rows are dropped).
-    """
+
+    ``rotation="symbolic"`` (default) rotates via the per-term scalar
+    expansion instead: every array stays (chunk,)-shaped and lane-major
+    — no (·,3,…,3) intermediates at all — 833 -> 47 ms for the 1M
+    epilogue on v5e (scripts/micro_epilogue.py; outputs agree to 1e-7
+    scale-rel, and it even COMPILES faster, 4.6 s vs 7.8 s). The
+    ~5k-op body is traced ONCE here (instantiating it inside every
+    per-bucket lax.map body is what made the round-2 compile
+    pathological, not the op count itself)."""
     n = m.shape[0]
     if n <= chunk:
-        return curvature_from_moments(m, sigma, nearest, kth_pt)
+        return curvature_from_moments(m, sigma, nearest, kth_pt, rotation)
     pad = (-n) % chunk
 
     def part(a):
@@ -292,7 +301,7 @@ def curvature_from_moments_chunked(m: jax.Array, sigma: jax.Array,
             (-1, chunk) + a.shape[1:])
 
     curv, nrm = jax.lax.map(
-        lambda args: curvature_from_moments(*args),
+        lambda args: curvature_from_moments(*args, rotation=rotation),
         (part(m), part(sigma), part(nearest), part(kth_pt)))
 
     def unpart(a):
@@ -302,7 +311,8 @@ def curvature_from_moments_chunked(m: jax.Array, sigma: jax.Array,
 
 
 def curvature_from_moments(m: jax.Array, sigma: jax.Array,
-                           nearest: jax.Array, kth_pt: jax.Array):
+                           nearest: jax.Array, kth_pt: jax.Array,
+                           rotation: str = "symbolic"):
     """Moments → (Curvatures, normals): the same chain as
     tangent_frames + fit_quadratic + explicit_curvatures.
 
@@ -318,7 +328,10 @@ def curvature_from_moments(m: jax.Array, sigma: jax.Array,
     flip = jnp.sum(n * ref_vec, axis=-1) < 0.0
     n = jnp.where(flip[..., None], -n, n)
     R = rodrigues_to_z(n)
-    S = rotated_moments(m, R)
+    if rotation == "symbolic":
+        S = rotated_moments_symbolic(m, R)
+    else:
+        S = rotated_moments(m, R)
     cnt = m[..., _IDX[(0, 0, 0)]]
     coeffs = fit_quadratic_from_moments(S, cnt, sigma)
     return explicit_curvatures(coeffs), n

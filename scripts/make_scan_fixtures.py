@@ -13,6 +13,8 @@ Run: python scripts/make_scan_fixtures.py [outdir=/tmp/scans]
 import os
 import sys
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 

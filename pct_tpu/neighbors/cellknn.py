@@ -767,6 +767,7 @@ def apply_cellwise(
     select_impl: str | None = None,
     dest_order: str = "original",
     runner=None,
+    post_fn=None,
 ):
     """Run ``fn`` over every point's kNN neighborhood INSIDE the cell loop.
 
@@ -778,6 +779,15 @@ def apply_cellwise(
     ``fn``'s per-query outputs are scattered to (n, ...) — in the
     caller's original point order (``dest_order="original"``) or sorted
     order ("sorted"). Padding slots and uncovered rows stay zero.
+
+    ``post_fn(flat out pytree) -> pytree`` (optional) maps the per-query
+    outputs row-for-row BEFORE the final scatter, in tile (padded,
+    cell-sorted) row order. Any permutation-equivariant epilogue belongs
+    here: the row scatter costs one HBM pass per packed COLUMN, so
+    reducing a wide intermediate (the 48-lane moment stats) to its
+    narrow final form first is much cheaper than scattering the wide
+    form and post-processing in destination order (measured ~250 ms for
+    the 50-column scatter at 1M k=100 vs ~60 ms for 11 columns).
 
     Returns (outputs pytree of (n, ...), exact (n,), kth_dist (n,)).
     NOT jitted itself — call under jit (``fn`` closures hash poorly as
@@ -814,8 +824,10 @@ def apply_cellwise(
     qrow, ok_q = flat(qrow), flat(ok_q)
     dest_rows = grid.order[qrow] if dest_order == "original" else qrow
     dest = jnp.where(ok_q, dest_rows, n)
-    return _scatter_outputs(n, dest, jax.tree_util.tree_map(flat, out),
-                            exact & (~cells.overflow), kth)
+    out = jax.tree_util.tree_map(flat, out)
+    if post_fn is not None:
+        out = post_fn(out)
+    return _scatter_outputs(n, dest, out, exact & (~cells.overflow), kth)
 
 
 def _scatter_outputs(n: int, dest, out, exact, kth):
@@ -965,6 +977,7 @@ def apply_cellwise_bucketed(
     select_impl: str | None = None,
     dest_order: str = "original",
     runner=None,
+    post_fn=None,
 ):
     """``apply_cellwise`` over occupancy-bucketed cells: each bucket runs
     the cell loop with its own (capacity, run_cap) statics, so padding
@@ -973,6 +986,9 @@ def apply_cellwise_bucketed(
     Semantics identical to apply_cellwise (``probe_grid_buckets``
     guarantees the spec covers every cell; anything beyond the last
     bucket's statics degrades to exact=False, never to wrong results).
+
+    ``post_fn``: optional row-for-row map over the concatenated flat
+    outputs BEFORE the final scatter — see ``apply_cellwise``.
 
     Returns (outputs pytree of (n, ...), exact (n,), kth_dist (n,)).
     NOT jitted itself — call under jit.
@@ -1011,6 +1027,8 @@ def apply_cellwise_bucketed(
     exact = jnp.concatenate(exacts)
     kth = jnp.concatenate(kths)
     out = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
+    if post_fn is not None:
+        out = post_fn(out)
     return _scatter_outputs(n, dest, out, exact & (~cells.overflow), kth)
 
 

@@ -131,31 +131,41 @@ def _fused_curvature_jit(
         return curv, normal
 
     runner = None
+    post_fn = None
     if engine == "moments":
+        from pct_tpu.fit.moments import curvature_from_moments_chunked
         from pct_tpu.neighbors.cellknn import moments_tile_runner
 
         runner = moments_tile_runner
+
+        def post_fn(stats):
+            # ONE moment->curvature pass over the flat TILE-ORDER stats,
+            # BEFORE the row scatter (the epilogue is row-for-row, so it
+            # commutes with the permutation): the packed scatter then
+            # moves ~11 output columns instead of the 50-column stats —
+            # measured ~250 ms of the 1M k=100 wall was that wide
+            # scatter. Traced ONCE here (the symbolic rotation is ~5k
+            # HLO ops; instantiating it inside every per-bucket lax.map
+            # body made the 1M XLA compile pathological) and chunked
+            # over rows: the contraction rotation's (·,3,3,3,3)
+            # intermediates tile to (4,128) on TPU — unchunked, M4
+            # alone is 19.3 GB at 1M (round-2 OOM).
+            curv, normals = curvature_from_moments_chunked(
+                stats[..., :35], stats[..., 38], stats[..., 39:42],
+                stats[..., 42:45])
+            return {"curv": curv, "normals": normals}
+
     if bucket_spec is not None:
         out, exact, kth = apply_cellwise_bucketed(
             grid, cells, k, fn, bucket_spec, tile_cells=tile_cells,
-            dest_order="original", runner=runner)
+            dest_order="original", runner=runner, post_fn=post_fn)
     else:
         out, exact, kth = apply_cellwise(
             grid, cells, k, fn, capacity=capacity, tile_cells=tile_cells,
-            run_cap=run_cap, dest_order="original", runner=runner)
+            run_cap=run_cap, dest_order="original", runner=runner,
+            post_fn=post_fn)
     if engine == "moments":
-        # ONE moment->curvature pass over the flat scattered stats (the
-        # symbolic moment rotation is ~5k HLO ops; instantiating it
-        # inside every per-bucket lax.map body made the 1M XLA compile
-        # pathologically slow). Chunked over N: the rotation
-        # contraction's (·,3,3,3,3) intermediates tile to (4,128) on
-        # TPU — unchunked, M4 alone is 19.3 GB at 1M (round-2 OOM).
-        from pct_tpu.fit.moments import curvature_from_moments_chunked
-
-        stats = out
-        curv, normals = curvature_from_moments_chunked(
-            stats[..., :35], stats[..., 38], stats[..., 39:42],
-            stats[..., 42:45])
+        curv, normals = out["curv"], out["normals"]
     else:
         curv, normals = out
     return FusedResult(curv=curv, normals=normals, exact=exact,

@@ -65,7 +65,13 @@ def _moment_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
     chunk = px_ref.shape[3]
 
     # ---- 1. d² bits into the (G, C, chunk) scratch ----
-    def d2_body(g, _):
+    # min/max ride along: mn seeds the nearest-argmin pass (the old
+    # standalone min pass is gone) and [mn, mx] brackets the bisection —
+    # real candidate spreads span ~2^26 of the 2^31 bit range, so the
+    # while-loop below converges in ~26 rounds instead of a fixed 32
+    # (pad-only tiles exit immediately).
+    def d2_body(g, carry):
+        mn, mx = carry
         px = px_ref[:, g, 0, :]                              # (1, chunk)
         py = py_ref[:, g, 0, :]
         pz = pz_ref[:, g, 0, :]
@@ -75,11 +81,17 @@ def _moment_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
         d2 = dx * dx + dy * dy + dz * dz                     # (1, C, chunk)
         ok = ((len_ref[:, g, 0, :][:, None, :] > 0)
               & (cand_ref[:, g, 0, :][:, None, :] != qrow[:, :, None]))
-        d2i_ref[g, :, :] = pltpu.bitcast(jnp.where(ok, d2, _SENT),
-                                         jnp.int32)[0]
-        return 0
+        bits = pltpu.bitcast(jnp.where(ok, d2, _SENT), jnp.int32)
+        d2i_ref[g, :, :] = bits[0]
+        mn = jnp.minimum(mn, jnp.min(bits, axis=-1))
+        mx = jnp.maximum(mx, jnp.max(
+            jnp.where(bits == _SENT_BITS, -1, bits), axis=-1))
+        return mn, mx
 
-    jax.lax.fori_loop(0, g_chunks, d2_body, 0)
+    mn, mx = jax.lax.fori_loop(
+        0, g_chunks, d2_body,
+        (jnp.full((tb, c), _SENT_BITS, jnp.int32),
+         jnp.full((tb, c), -1, jnp.int32)))
 
     def count_le_fn(thresh):                                 # (1, C) int32
         def body(g, cnt):
@@ -90,16 +102,27 @@ def _moment_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
         return jax.lax.fori_loop(0, g_chunks, body,
                                  jnp.zeros((tb, c), jnp.int32))
 
-    # ---- 2. exact kth bits by bisection (32 count rounds) ----
-    def bisect(_, carry):
+    # ---- 2. exact kth bits by bisection (count rounds, seeded) ----
+    # invariants: count_le(lo) < k <= count_le(hi) when k is reachable.
+    # lo0 = mn-1 counts 0; hi0 = mx counts every valid candidate, so
+    # under-k rows converge to the max valid d² (what the XLA oracle
+    # re-derives) and empty rows to 0 (lo0 clamps to hi0 there). The
+    # fixed-32-round fori_loop is replaced by a while_loop on the max
+    # remaining bracket width: exact same fixpoint, data-adaptive
+    # round count.
+    def bisect_cond(carry):
+        lo, hi = carry
+        return jnp.max(hi - lo) > 1
+
+    def bisect(carry):
         lo, hi = carry                                       # (1, C) int32
         mid = lo + (hi - lo) // 2
         ge = count_le_fn(mid) >= k
         return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
-    lo0 = jnp.full((tb, c), -1, jnp.int32)
-    hi0 = jnp.full((tb, c), _SENT_BITS - 1, jnp.int32)
-    _, tau_bits = jax.lax.fori_loop(0, 32, bisect, (lo0, hi0))
+    hi0 = jnp.maximum(mx, 0)
+    lo0 = jnp.minimum(mn - 1, hi0)
+    _, tau_bits = jax.lax.while_loop(bisect_cond, bisect, (lo0, hi0))
 
     tau_b = tau_bits[:, :, None]
     count_le = count_le_fn(tau_bits)
@@ -107,11 +130,6 @@ def _moment_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
     found = count_le >= k
 
     # ---- nearest + kth neighbor positions (iota first-match) ----
-    def mn_body(g, mn):
-        return jnp.minimum(mn, jnp.min(d2i_ref[g][None], axis=-1))
-
-    mn = jax.lax.fori_loop(0, g_chunks, mn_body,
-                           jnp.full((tb, c), _SENT_BITS, jnp.int32))
 
     def am_body(g, carry):
         am_n, am_k = carry
@@ -290,15 +308,15 @@ def knn_moments_xla(qpts, cpts, cand, qrow, valid, k: int):
     d2 = jnp.where(ok, d2, _SENT)
     neg, _ = jax.lax.top_k(-d2, k)
     tau = -neg[..., -1]
-    tau = jnp.where(tau >= _SENT, jnp.float32(_SENT), tau)  # bound like hi0
-    count_lt = jnp.sum((d2 < tau[..., None]).astype(jnp.int32), -1)
-    count_le = jnp.sum((d2 <= tau[..., None]).astype(jnp.int32), -1)
-    # kernel bisection ends at the largest candidate bits < SENT when
-    # fewer than k exist; reproduce by re-deriving tau over valid only
-    any_valid = jnp.any(ok, axis=-1)
-    tau = jnp.where(count_le >= k, tau,
+    # kernel bisection ends at the largest VALID d² when fewer than k
+    # valid candidates exist (and 0 when none): gate on the valid count,
+    # never on a count taken at tau=_SENT (d2 <= _SENT also counts the
+    # sentinel slots, which made found spuriously true on under-k rows)
+    n_valid = jnp.sum(ok.astype(jnp.int32), axis=-1)
+    any_valid = n_valid > 0
+    tau = jnp.where(n_valid >= k, tau,
                     jnp.where(any_valid,
-                              jnp.max(jnp.where(d2 < _SENT, d2, -jnp.inf),
+                              jnp.max(jnp.where(ok, d2, -jnp.inf),
                                       axis=-1), 0.0))
     count_lt = jnp.sum((d2 < tau[..., None]).astype(jnp.int32), -1)
     count_le = jnp.sum((d2 <= tau[..., None]).astype(jnp.int32), -1)

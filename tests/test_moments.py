@@ -257,3 +257,35 @@ def test_split_cells_moments_matches_unsplit():
     np.testing.assert_allclose(np.asarray(r_split.curv.K)[:n][e],
                                np.asarray(r_unsplit.curv.K)[:n][e],
                                rtol=2e-4, atol=1e-5)
+
+
+def test_moment_kernel_matches_xla_oracle_sparse_rows():
+    """knn_moments (interpret) vs the XLA oracle on a tile mix that
+    exercises all three row classes: found (>= k valid candidates),
+    under-k (0 < valid < k, tau must converge to the max valid d² —
+    the seeded-bisection contract), and empty (no valid candidate at
+    all, tau must be exactly 0)."""
+    import jax.numpy as jnp
+
+    from pct_tpu.ops.pallas_moments import knn_moments, xla_moment_stats
+
+    rng = np.random.default_rng(7)
+    T, C, M, K = 4, 8, 192, 20
+    q = rng.standard_normal((T, C, 3)).astype(np.float32)
+    p = rng.standard_normal((T, M, 3)).astype(np.float32)
+    cand = np.stack([rng.permutation(4096)[:M] for _ in range(T)]
+                    ).astype(np.int32)
+    qrow = cand[:, :C].copy()          # force self-exclusion hits
+    valid = (rng.random((T, M)) < 0.8).astype(np.int32)
+    valid[1, 5:] = 0                   # tile 1: every row under-k
+    valid[2, :] = 0                    # tile 2: empty rows
+    out = np.asarray(knn_moments(
+        jnp.asarray(q), jnp.asarray(p), jnp.asarray(cand),
+        jnp.asarray(qrow), jnp.asarray(valid), K, interpret=True))
+    ref = np.asarray(xla_moment_stats(
+        jnp.asarray(q), jnp.asarray(p), jnp.asarray(cand),
+        jnp.asarray(qrow), jnp.asarray(valid), K))
+    found = out[:, :, 45] > 0
+    assert found[0].any() and not found[1].any() and not found[2].any()
+    assert (out[2, :, 35] == 0.0).all()          # empty rows: tau == 0
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)

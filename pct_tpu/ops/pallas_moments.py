@@ -58,13 +58,13 @@ NOUT = 48
 def _moment_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
                    cand_ref, qrow_ref, len_ref, out_ref, d2i_ref,
                    *, k: int):
-    qx, qy, qz = qx_ref[:, 0], qy_ref[:, 0], qz_ref[:, 0]    # (1, C)
+    qx, qy, qz = qx_ref[:, 0], qy_ref[:, 0], qz_ref[:, 0]    # (tb, C)
     qrow = qrow_ref[:, 0]
     tb, c = qx.shape
     g_chunks = px_ref.shape[1]
     chunk = px_ref.shape[3]
 
-    # ---- 1. d² bits into the (G, C, chunk) scratch ----
+    # ---- 1. d² bits into the (G, tb, C, chunk) scratch ----
     # min/max ride along: mn seeds the nearest-argmin pass (the old
     # standalone min pass is gone) and [mn, mx] brackets the bisection —
     # real candidate spreads span ~2^26 of the 2^31 bit range, so the
@@ -72,17 +72,17 @@ def _moment_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
     # (pad-only tiles exit immediately).
     def d2_body(g, carry):
         mn, mx = carry
-        px = px_ref[:, g, 0, :]                              # (1, chunk)
+        px = px_ref[:, g, 0, :]                              # (tb, chunk)
         py = py_ref[:, g, 0, :]
         pz = pz_ref[:, g, 0, :]
         dx = qx[:, :, None] - px[:, None, :]
         dy = qy[:, :, None] - py[:, None, :]
         dz = qz[:, :, None] - pz[:, None, :]
-        d2 = dx * dx + dy * dy + dz * dz                     # (1, C, chunk)
+        d2 = dx * dx + dy * dy + dz * dz                     # (tb, C, chunk)
         ok = ((len_ref[:, g, 0, :][:, None, :] > 0)
               & (cand_ref[:, g, 0, :][:, None, :] != qrow[:, :, None]))
         bits = pltpu.bitcast(jnp.where(ok, d2, _SENT), jnp.int32)
-        d2i_ref[g, :, :] = bits[0]
+        d2i_ref[g] = bits
         mn = jnp.minimum(mn, jnp.min(bits, axis=-1))
         mx = jnp.maximum(mx, jnp.max(
             jnp.where(bits == _SENT_BITS, -1, bits), axis=-1))
@@ -93,10 +93,10 @@ def _moment_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
         (jnp.full((tb, c), _SENT_BITS, jnp.int32),
          jnp.full((tb, c), -1, jnp.int32)))
 
-    def count_le_fn(thresh):                                 # (1, C) int32
+    def count_le_fn(thresh):                                 # (tb, C) int32
         def body(g, cnt):
             return cnt + jnp.sum(
-                (d2i_ref[g][None] <= thresh[:, :, None]).astype(jnp.int32),
+                (d2i_ref[g] <= thresh[:, :, None]).astype(jnp.int32),
                 axis=-1)
 
         return jax.lax.fori_loop(0, g_chunks, body,
@@ -133,7 +133,7 @@ def _moment_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
 
     def am_body(g, carry):
         am_n, am_k = carry
-        d2c = d2i_ref[g][None]                               # (1, C, chunk)
+        d2c = d2i_ref[g]                                     # (tb, C, chunk)
         iota_c = g * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (tb, c, chunk), dimension=2)
         big = g_chunks * chunk
@@ -164,7 +164,7 @@ def _moment_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
         rx = px[:, None, :] - qx[:, :, None]
         ry = py[:, None, :] - qy[:, :, None]
         rz = pz[:, None, :] - qz[:, :, None]
-        d2c = d2i_ref[g][None]
+        d2c = d2i_ref[g]
         iota_c = g * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (tb, c, chunk), dimension=2)
         w = (jnp.where(d2c < tau_b, 1.0, 0.0)
@@ -216,15 +216,24 @@ def _moment_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
 @partial(jax.jit, static_argnames=("k", "block_cells", "chunk", "interpret"))
 def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
                 qrow: jax.Array, valid: jax.Array, k: int,
-                block_cells: int = 1, chunk: int = 1024,
+                block_cells: int = 0, chunk: int = 1024,
                 interpret: bool = False):
     """(T,C,3) queries vs (T,M,3) candidates -> (T,C,NOUT) moment stats.
 
     Same input contract as ops.pallas_select.knn_select; see the module
     docstring for the output layout. The candidate axis is padded to a
     multiple of ``chunk`` (pad slots invalid).
+
+    ``block_cells`` batches that many cell tiles per Pallas program
+    (0 = auto). Outputs are bit-identical to tb=1 — the bisection
+    while-loop's condition spans the batch, but converged rows are
+    fixpoints — and the batch amortizes per-program overhead and the
+    straggler rounds of the data-adaptive bisection (measured at the 1M
+    k=100 bucket shapes: 106→72, 86→66, 71→62 ms; tb=16 is flat vs 8;
+    scripts/micro_moments_split.py). Auto keeps the batched
+    (tb,C,chunk) tiles under ~2 MB so the ~25 live monomial buffers of
+    the moment pass stay inside the 100 MB VMEM budget.
     """
-    del block_cells  # one cell-tile per program (the d² scratch is C·M)
     from pct_tpu.ops.pallas_select import _axes3
 
     t, c, _ = qpts.shape
@@ -246,25 +255,39 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
         valid = jnp.pad(valid, ((0, 0), (0, pad_m)))
     mp = m + pad_m
     g = mp // chunk
-    grid = (t,)
+
+    tb = block_cells
+    if tb <= 0:
+        tb = max(1, min(8, (2 * 1024 * 1024) // (cp * chunk * 4)))
+    # pad the tile axis; pad tiles carry valid=0 + qrow=-1, so every row
+    # is all-invalid and the bisection bracket starts converged
+    pad_t = (-t) % tb
+    if pad_t:
+        qpts = jnp.pad(qpts, ((0, pad_t), (0, 0), (0, 0)))
+        qrow = jnp.pad(qrow, ((0, pad_t), (0, 0)), constant_values=-1)
+        px, py, pz, cand, valid = (
+            jnp.pad(a, ((0, pad_t), (0, 0)))
+            for a in (px, py, pz, cand, valid))
+    tp = t + pad_t
+    grid = (tp // tb,)
 
     b3 = lambda i: (i, 0, 0)
     b4 = lambda i: (i, 0, 0, 0)
     vm = pltpu.VMEM
-    cspec = pl.BlockSpec((1, 1, cp), b3, memory_space=vm)
-    gspec = pl.BlockSpec((1, g, 1, chunk), b4, memory_space=vm)
+    cspec = pl.BlockSpec((tb, 1, cp), b3, memory_space=vm)
+    gspec = pl.BlockSpec((tb, g, 1, chunk), b4, memory_space=vm)
 
     def as_g(a):
-        return a.reshape(t, g, 1, chunk)
+        return a.reshape(tp, g, 1, chunk)
 
     out = pl.pallas_call(
         partial(_moment_kernel, k=k),
         grid=grid,
         in_specs=[cspec, cspec, cspec, gspec, gspec, gspec, gspec, cspec,
                   gspec],
-        out_specs=pl.BlockSpec((1, cp, NOUT), b3, memory_space=vm),
-        out_shape=jax.ShapeDtypeStruct((t, cp, NOUT), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((g, cp, chunk), jnp.int32)],
+        out_specs=pl.BlockSpec((tb, cp, NOUT), b3, memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((tp, cp, NOUT), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((g, tb, cp, chunk), jnp.int32)],
         # the d² scratch plus one loop iteration's temporaries exceed
         # Mosaic's default 16 MB scoped-VMEM budget at production sizes;
         # v5e has 128 MB of VMEM
@@ -274,7 +297,7 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
     )(qpts[:, None, :, 0], qpts[:, None, :, 1], qpts[:, None, :, 2],
       as_g(px), as_g(py), as_g(pz),
       as_g(cand), qrow[:, None, :], as_g(valid))
-    return out[:, :c]
+    return out[:t, :c]
 
 
 def xla_moment_stats(qpts, cpts, cand, qrow, valid, k: int):

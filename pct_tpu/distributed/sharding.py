@@ -46,6 +46,7 @@ from pct_tpu.neighbors.cellknn import (
     compact_cells,
     default_max_cells,
     default_select_impl,
+    moments_tile_runner,
 )
 from pct_tpu.neighbors.grid import PAD_ID, build_grid
 
@@ -87,6 +88,8 @@ def sharded_curvature(
     implicit_mode: str = "exact",
     select_impl: str | None = None,
     bucket_spec: tuple | None = None,
+    engine: str = "list",
+    split: tuple | None = None,
 ) -> ShardedResult:
     """Full multi-chip curvature step (jit this, or call inside jit).
 
@@ -99,9 +102,20 @@ def sharded_curvature(
     ``exact`` reports the per-point coverage certificate so callers can
     audit (and repair) coverage — there is no silent approximation on
     the multichip path.
+
+    ``engine``/``split`` mirror ``fused_curvature``: ``engine="moments"``
+    runs the large-k moment-accumulation path (ops/pallas_moments.py,
+    explicit method only) — each chip reduces its cells to moment stats
+    and runs the moment→curvature epilogue on its OWN flat rows
+    (pre-scatter, like the single-chip post_fn), so the epilogue is
+    embarrassingly sharded too; ``split=(cap, factor)`` virtual-splits
+    oversized cells (neighbors.cellknn.split_cells) so no bucket
+    capacity exceeds ``cap``.
     """
     from pct_tpu.pipeline.fused import _curvature_of_neighborhoods
 
+    if engine == "moments" and method != "explicit":
+        raise ValueError("engine='moments' supports method='explicit' only")
     if select_impl is None:
         select_impl = default_select_impl()
     if capacity is None:
@@ -113,6 +127,10 @@ def sharded_curvature(
         max_cells = default_max_cells(n, k, tile_cells)
     grid = build_grid(points, num_points, cell_size)
     cells = compact_cells(grid, max_cells)
+    if split is not None and split[1] > 1:
+        from pct_tpu.neighbors.cellknn import split_cells
+
+        cells = split_cells(cells, n, split[0], split[1])
 
     def _pad_tiles(tile_args):
         # pad the tile axis to a multiple of the mesh size with PAD
@@ -129,20 +147,26 @@ def sharded_curvature(
                 for a, f in zip(tile_args, fills))
         return tile_args
 
+    moments = engine == "moments"
+    runner = moments_tile_runner if moments else cellwise_tile_runner
+    # cellwise runner: unpacked fetch (packed relayout loses on that
+    # path); moments runner: auto pack, like the single-chip dispatch
+    pack = None if moments else 1
+
     # normalize both layouts to a list of (capacity, run_cap, impl, args)
     if bucket_spec is not None:
         buckets = [
             (sp.capacity, sp.run_cap, impl_b, args)
             for sp, args, impl_b in bucketed_tile_args(
                 grid, cells, bucket_spec, tile_cells, select_impl,
-                pad_tiles_to=d, pack=1)  # cellwise runner: unpacked fetch
+                pad_tiles_to=d, demote_pallas=not moments, pack=pack)
         ]
     else:
         if run_cap is None:
             run_cap = 3 * capacity
         tile_args, tile_cells, select_impl = _cellwise_setup(
             grid, cells, capacity, tile_cells, run_cap, select_impl,
-            pack=1)  # cellwise runner: unpacked fetch
+            demote_pallas=not moments, pack=pack)
         buckets = [(capacity, run_cap, select_impl, _pad_tiles(tile_args))]
 
     def fn(centered, found):
@@ -156,11 +180,20 @@ def sharded_curvature(
     def local(grid_rep, all_args_l):
         outs, exacts, kths, qrows, okqs = [], [], [], [], []
         for (cap_b, rc_b, impl_b), args in zip(statics, all_args_l):
-            one_tile = cellwise_tile_runner(grid_rep, k, cap_b, rc_b,
-                                            impl_b, fn)
-            out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, args)
+            one_tile = runner(grid_rep, k, cap_b, rc_b, impl_b, fn)
+            if moments and impl_b == "pallas":
+                # ONE pallas call over this chip's cells of the bucket
+                # (the kernel grid axis IS the cell axis; pallas inside
+                # lax.map at 1M scale never finishes XLA compilation —
+                # same layout as apply_cellwise_bucketed)
+                cell_args = jax.tree_util.tree_map(
+                    lambda a: a.reshape((-1,) + a.shape[2:]), args)
+                out, exact, kth, qrow, ok_q = one_tile(cell_args)
+                flat = lambda a: a.reshape((-1,) + a.shape[2:])
+            else:
+                out, exact, kth, qrow, ok_q = jax.lax.map(one_tile, args)
+                flat = lambda a: a.reshape((-1,) + a.shape[3:])
             # flatten each bucket to rows (bucket capacities differ)
-            flat = lambda a: a.reshape((-1,) + a.shape[3:])
             outs.append(jax.tree_util.tree_map(flat, out))
             exacts.append(flat(exact))
             kths.append(flat(kth))
@@ -171,6 +204,18 @@ def sharded_curvature(
         kth = jnp.concatenate(kths)
         qrow = jnp.concatenate(qrows)
         ok_q = jnp.concatenate(okqs)
+        if moments:
+            # moment->curvature epilogue on this chip's OWN flat rows
+            # (row-for-row, so it commutes with the final scatter): the
+            # epilogue is embarrassingly sharded, and the global scatter
+            # moves ~11 output columns instead of the 48-lane stats slab
+            from pct_tpu.fit.moments import curvature_from_moments_chunked
+
+            stats48 = out
+            curv, normal = curvature_from_moments_chunked(
+                stats48[..., :35], stats48[..., 38], stats48[..., 39:42],
+                stats48[..., 42:45])
+            out = (curv, normal)
         (curv, _normal) = out
         # global reductions over the mesh axis (ICI psum); NaN-tolerant
         # like the reference's census (a handful of degenerate fits must

@@ -56,6 +56,57 @@ def test_sharded_matches_single_device_exactly(torus_cloud):
                                rtol=1e-6, atol=0)
 
 
+def test_sharded_moments_matches_single_device(torus_cloud):
+    """engine='moments' on the mesh: per-cell moment stats are computed
+    independently per tile, so the stats layer (kth distance = sigma,
+    exact certificate) must be BIT-identical to the single-chip moments
+    engine. The moment->curvature epilogue is row-for-row but compiles
+    inside shard_map in one program and as a single flat pass in the
+    other — XLA fuses/FMA-contracts them differently, and the fit solve
+    amplifies that to ~5e-6 scale-normalized on K (measured); gate at
+    1e-4."""
+    from pct_tpu.neighbors.cellknn import probe_grid_buckets
+    from pct_tpu.neighbors.grid import build_grid
+
+    pts, cloud = torus_cloud
+    k = 64
+    mesh = make_mesh(8)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    spec, mc, factor = probe_grid_buckets(
+        grid, capacity_cap=max(256, 4 * k), split_to=128)
+    res = sharded_curvature(mesh, cloud.points, cloud.num_points, cell,
+                            k=k, max_cells=mc, bucket_spec=spec,
+                            engine="moments", split=(128, factor))
+    single = fused_curvature(cloud.points, cloud.num_points, cell, k=k,
+                             max_cells=mc, bucket_spec=spec,
+                             engine="moments", split=(128, factor))
+    K_sh = np.asarray(res.curv.K)[:4000]
+    K_1 = np.asarray(single.curv.K)[:4000]
+    dn = np.abs(K_sh - K_1) / np.median(np.abs(K_1))
+    assert dn.max() < 1e-4, f"epilogue divergence beyond fusion noise: {dn.max()}"
+    np.testing.assert_array_equal(np.asarray(res.exact)[:4000],
+                                  np.asarray(single.exact)[:4000])
+    # stats layer must be BIT-identical across the partition
+    np.testing.assert_array_equal(np.asarray(res.kth_dist)[:4000],
+                                  np.asarray(single.kth_dist)[:4000])
+    # coverage certified (accuracy-vs-analytic of the moments engine
+    # itself is test_moments.py's job; k=64 of n=4000 is a deliberately
+    # oversized neighborhood here, so fit bias vs analytic is large)
+    assert np.asarray(res.exact)[:4000].all()
+    assert float(res.stats.nan_fraction) == 0.0
+    assert float(res.stats.mean_abs_K) > 0.5
+
+
+def test_sharded_moments_rejects_implicit(torus_cloud):
+    pts, cloud = torus_cloud
+    mesh = make_mesh(2)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, 16)
+    with pytest.raises(ValueError, match="explicit"):
+        sharded_curvature(mesh, cloud.points, cloud.num_points, cell,
+                          k=16, engine="moments", method="implicit")
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as g
 

@@ -135,11 +135,19 @@ def main():
     guarded("sharded_mesh1", bench_sharded)
 
     # --- secondary: scans-class k=100 via the moment engine ---
-    def bench_k100():
+    k100_layout = {}
+
+    def probe_k100():
         cell100 = estimate_cell_size(cloud.points, cloud.num_points, 100)
         spec100, mc100 = probe_grid_buckets(
             build_grid(cloud.points, cloud.num_points, cell100),
             capacity_cap=400)
+        k100_layout.update(spec=spec100, mc=mc100)
+
+    guarded("k100_probe", probe_k100)
+
+    def bench_k100():
+        spec100, mc100 = k100_layout["spec"], k100_layout["mc"]
 
         def run_k100():
             cell = estimate_cell_size(cloud.points, cloud.num_points, 100)
@@ -167,6 +175,35 @@ def main():
         out["k100_nan_fraction"] = float(np.isnan(K100).mean())
 
     guarded("k100_moments", bench_k100)
+
+    # --- secondary: multi-chip moments engine on a mesh of 1 (the
+    # scans-class k=100 path under the sharded layer; kernels are warm
+    # in-process from bench_k100 — same bucket layout) ---
+    def bench_sharded_k100():
+        from pct_tpu.distributed.sharding import make_mesh, sharded_curvature
+
+        spec100, mc100 = k100_layout["spec"], k100_layout["mc"]
+        mesh1 = make_mesh(1)
+
+        @jax.jit
+        def step(points, num_points):
+            cell = estimate_cell_size(points, num_points, 100)
+            return sharded_curvature(mesh1, points, num_points, cell,
+                                     k=100, max_cells=mc100,
+                                     bucket_spec=spec100, engine="moments")
+
+        r = step(cloud.points, cloud.num_points)
+        sync(r.curv.K)
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = step(cloud.points, cloud.num_points)
+            sync(r.curv.K)
+            ts.append(time.perf_counter() - t0)
+        out["seconds_per_1M_k100_sharded_mesh1"] = round(min(ts), 4)
+        out["k100_sharded_mesh1_mean_abs_K"] = float(r.stats.mean_abs_K)
+
+    guarded("k100_sharded_mesh1", bench_sharded_k100)
 
     # --- secondary: library kNN, full (N,k) ids + distances (bucketed) ---
     def bench_library_knn():

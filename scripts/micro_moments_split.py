@@ -9,10 +9,20 @@ cell tiles batched per pallas program, to locate the cost:
 
   full        production semantics (tb=1 must match ops.pallas_moments)
   fixed26     bisection as fori_loop(26) — no per-round while cond
+  quad        4-ary bisection (3 probes per scratch scan, ~13 rounds)
+  quad_fixed  4-ary as fori_loop(14) — no while cond
+  oct_fixed   8-ary as fori_loop(10) — 7 probes per scan
+  interp4     4 false-position probes (cnt(t) ~ linear in t on a
+              2-manifold) + adaptive binary finish
   no_bisect   tau := max valid d2 (zero bisection rounds)
   no_moments  skip the 35-monomial pass
   no_am       skip the nearest/kth argmin pass
   d2_only     d2 scratch fill + one count pass only
+
+Multi-ary correctness: counts are monotone in the threshold, so the
+probe chain preserves the bracket invariant cnt(lo) < k <= cnt(hi);
+mids computed as lo + i*((hi-lo)//arity) never overflow int32 (hi is a
+positive-f32 bit pattern < 2^31).
 
 tb>1 generalizes the scratch to (g, tb, C, chunk) and the grid to
 (T/tb,): same math per row, so outputs are bit-identical to tb=1 (the
@@ -86,6 +96,35 @@ def _kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
     hi0 = jnp.maximum(mx, 0)
     lo0 = jnp.minimum(mn - 1, hi0)
 
+    def countmulti_fn(threshs):
+        # counts for several thresholds in ONE scratch scan
+        def body(g, cnts):
+            d = d2i_ref[g]
+            return tuple(
+                c + jnp.sum((d <= t[:, :, None]).astype(jnp.int32), axis=-1)
+                for c, t in zip(cnts, threshs))
+
+        return jax.lax.fori_loop(
+            0, g_chunks, body,
+            tuple(jnp.zeros((tb, c), jnp.int32) for _ in threshs))
+
+    def nary_round(carry, arity):
+        lo, hi = carry
+        # q >= 1 and probes clamped to hi: progress is guaranteed even
+        # for tiny brackets (q=0 would re-probe lo forever); a probe at
+        # hi is redundant-but-harmless (cnt(hi) >= k by invariant)
+        q = jnp.maximum((hi - lo) // arity, 1)
+        mids = [jnp.minimum(lo + i * q, hi) for i in range(1, arity)]
+        cnts = countmulti_fn(mids)
+        new_lo, new_hi = lo, hi
+        # bracket the k-th count crossing: counts are monotone in the
+        # threshold, so ~ge probes are a prefix and ge probes a suffix
+        for m_, c_ in zip(mids, cnts):
+            ge = c_ >= k
+            new_hi = jnp.where(ge, jnp.minimum(new_hi, m_), new_hi)
+            new_lo = jnp.where(~ge, jnp.maximum(new_lo, m_), new_lo)
+        return new_lo, new_hi
+
     if mode == "no_bisect" or mode == "d2_only":
         tau_bits = hi0
     elif mode == "fixed26":
@@ -96,6 +135,54 @@ def _kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
             return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
         _, tau_bits = jax.lax.fori_loop(0, 26, bisect_f, (lo0, hi0))
+    elif mode == "quad":
+        def quad_cond(carry):
+            lo, hi = carry
+            return jnp.max(hi - lo) > 1
+
+        _, tau_bits = jax.lax.while_loop(
+            quad_cond, lambda c: nary_round(c, 4), (lo0, hi0))
+    elif mode == "quad_fixed":
+        _, tau_bits = jax.lax.fori_loop(
+            0, 14, lambda _, c: nary_round(c, 4), (lo0, hi0))
+    elif mode == "oct_fixed":
+        _, tau_bits = jax.lax.fori_loop(
+            0, 10, lambda _, c: nary_round(c, 8), (lo0, hi0))
+    elif mode == "interp4":
+        # cnt(t) grows ~linearly in the d2 threshold t near a surface
+        # point (2-manifold: area within radius r ~ pi r^2 = pi t), so
+        # false position brackets the kth crossing in a few probes;
+        # bits<->float interp is monotone for positive f32 patterns.
+        cnt_lo0 = jnp.zeros((tb, c), jnp.int32)          # cnt(mn-1) == 0
+        cnt_hi0 = count_le_fn(hi0)
+
+        def fp_round(_, carry):
+            lo, hi, cl, ch = carry
+            tlo = pltpu.bitcast(jnp.maximum(lo, 0), jnp.float32)
+            thi = pltpu.bitcast(hi, jnp.float32)
+            denom = jnp.maximum((ch - cl).astype(jnp.float32), 1.0)
+            tg = tlo + (thi - tlo) * ((k - cl).astype(jnp.float32) / denom)
+            gb = pltpu.bitcast(tg, jnp.int32)
+            gb = jnp.clip(gb, lo + 1, jnp.maximum(hi - 1, lo + 1))
+            cg = count_le_fn(gb)
+            ge = cg >= k
+            return (jnp.where(ge, lo, gb), jnp.where(ge, gb, hi),
+                    jnp.where(ge, cl, cg), jnp.where(ge, cg, ch))
+
+        lo1, hi1, _, _ = jax.lax.fori_loop(
+            0, 4, fp_round, (lo0, hi0, cnt_lo0, cnt_hi0))
+
+        def bisect_cond(carry):
+            lo, hi = carry
+            return jnp.max(hi - lo) > 1
+
+        def bisect(carry):
+            lo, hi = carry
+            mid = lo + (hi - lo) // 2
+            ge = count_le_fn(mid) >= k
+            return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+        _, tau_bits = jax.lax.while_loop(bisect_cond, bisect, (lo1, hi1))
     else:
         def bisect_cond(carry):
             lo, hi = carry
@@ -318,6 +405,12 @@ def main():
             d = np.max(np.abs(np.asarray(base) - np.asarray(out)))
             print(f"  full tb={tb} vs prod max abs diff {d:.2e}",
                   flush=True)
+        for mode in ("quad", "quad_fixed", "oct_fixed", "interp4"):
+            out = time_fn(lambda m_=mode: moments_variant(*args, k, tb=8,
+                                                          mode=m_),
+                          f"{mode} tb=8")
+            d = np.max(np.abs(np.asarray(base) - np.asarray(out)))
+            print(f"  {mode} tb=8 vs prod max abs diff {d:.2e}", flush=True)
 
 
 if __name__ == "__main__":

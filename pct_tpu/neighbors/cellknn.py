@@ -1117,7 +1117,7 @@ def _probe_maxrun(grid: GridIndex, cells: CellTable) -> jax.Array:
 
 
 def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
-                       capacity_cap: int = 256, max_buckets: int = 3,
+                       capacity_cap: int = 256, max_buckets: int = 6,
                        size_unit: int | None = None,
                        split_to: int | None = None):
     """Host-side bucket tuning: one compaction + runs probe + one sync.
@@ -1171,43 +1171,57 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
 
     unit = size_unit if size_unit is not None else 4 * tile_cells
 
-    def bucket_cost(lo_i, hi_i):
-        """cells with sorted index in [lo_i, hi_i) form one bucket."""
-        m = hi_i - lo_i
-        if m <= 0:
-            return 0.0, None
-        cap = min(r8(cmax_pre[hi_i - 1]), capacity_cap)
-        # run_cap must cover the bucket's true max run — a 3·cap clip is
-        # invalid across buckets (a low-count cell bordering a dense cell
-        # has a long run but lands in a small-capacity bucket; clipping
-        # flagged it overflowed and voided its exactness certificate)
-        rc = r8(rmax_pre[hi_i - 1])
-        size = ((m + unit - 1) // unit) * unit
-        cost = float(size) * cap * (9 * rc + 32)
-        hi_key = int(key_s[hi_i - 1])
-        return cost, BucketSpec(hi_key=hi_key, capacity=cap, run_cap=rc,
-                                max_cells=size)
-
-    kmax = int(key_s[-1]) if num_cells else 8
-    cands = sorted({min(c, kmax) for c in range(8, r8(kmax) + 1, 8)})
-    # split indices for each candidate threshold
-    splits = {c: int(np.searchsorted(key_s, c, side="right")) for c in cands}
-
-    best = None
-    from itertools import combinations
-    for nb in range(1, max_buckets + 1):
-        for inner in combinations([c for c in cands if c < kmax], nb - 1):
-            idxs = [0] + [splits[c] for c in inner] + [num_cells]
-            total, spec = 0.0, []
-            for lo_i, hi_i in zip(idxs[:-1], idxs[1:]):
-                cost, sp = bucket_cost(lo_i, hi_i)
-                total += cost
-                if sp is not None:
-                    spec.append(sp)
-            if spec and (best is None or total < best[0]):
-                best = (total, tuple(spec))
-    spec = best[1] if best else (
-        BucketSpec(hi_key=8, capacity=8, run_cap=24, max_cells=unit),)
+    # Bucket boundaries live on the 8-aligned key thresholds. Exact DP
+    # over boundary indices (min total cost with <= max_buckets buckets):
+    # O(max_buckets * |bounds|^2) with the inner minimization vectorized,
+    # vs the previous combinations() search whose cost exploded beyond
+    # max_buckets=3 on clouds with many candidate thresholds.
+    spec = (BucketSpec(hi_key=8, capacity=8, run_cap=24, max_cells=unit),)
+    if num_cells:
+        kmax = int(key_s[-1])
+        bounds = sorted(
+            {int(np.searchsorted(key_s, c, side="right"))
+             for c in range(8, r8(kmax) + 1, 8) if c < kmax}
+            | {0, num_cells})
+        B = np.asarray(bounds, dtype=np.int64)
+        nb = len(B)
+        # per-end-boundary bucket params (cost factor depends only on hi)
+        cap_i = np.minimum([r8(cmax_pre[b - 1]) for b in B[1:]],
+                           capacity_cap).astype(np.int64)
+        rc_i = np.asarray([r8(rmax_pre[b - 1]) for b in B[1:]],
+                          dtype=np.int64)
+        w_i = (cap_i * (9 * rc_i + 32)).astype(np.float64)
+        INF = np.inf
+        dp = np.full(nb, INF)
+        dp[0] = 0.0
+        # parent[b, i]: j of the bucket [B[j], B[i]) added at level b,
+        # or -1 when level b keeps the (b-1)-bucket solution for i
+        parent = np.full((max_buckets, nb), -1, dtype=np.int64)
+        for b in range(max_buckets):
+            ndp = dp.copy()
+            for i in range(1, nb):
+                m = B[i] - B[:i]
+                size = ((m + unit - 1) // unit) * unit
+                tot = dp[:i] + size.astype(np.float64) * w_i[i - 1]
+                j = int(np.argmin(tot))
+                if tot[j] < ndp[i]:
+                    ndp[i] = tot[j]
+                    parent[b, i] = j
+            dp = ndp
+        if np.isfinite(dp[-1]):
+            out, b, i = [], max_buckets - 1, nb - 1
+            while i > 0:
+                j = parent[b, i]
+                if j < 0:
+                    b -= 1
+                    continue
+                out.append(BucketSpec(
+                    hi_key=int(key_s[B[i] - 1]), capacity=int(cap_i[i - 1]),
+                    run_cap=int(rc_i[i - 1]),
+                    max_cells=int((((B[i] - B[j]) + unit - 1) // unit)
+                                  * unit)))
+                b, i = b - 1, int(j)
+            spec = tuple(reversed(out))
 
     # mc sizes compact_cells' UNSPLIT table (split_cells multiplies rows
     # by the factor afterwards)

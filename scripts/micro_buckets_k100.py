@@ -6,6 +6,8 @@ at the default max_buckets=3 (62% overhead). Finer buckets tighten
 capacities at the cost of more kernel programs (per-call overhead +
 compiles). This script times the full fused moments pipeline across
 max_buckets settings to find the knee.
+
+Usage: micro_buckets_k100.py [k] [mb mb ...]   (defaults: 100, 3 4 5 6)
 """
 
 import sys
@@ -28,9 +30,11 @@ from pct_tpu.pipeline.fused import fused_curvature  # noqa: E402
 from pct_tpu.shapes import generate_shape  # noqa: E402
 
 N = 1_000_000
-K = 100
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+MBS = [int(a) for a in sys.argv[2:]] or [3, 4, 5, 6]
+ENGINE = "moments" if K >= 64 else "list"
 
-print("devices:", jax.devices(), flush=True)
+print("devices:", jax.devices(), "k:", K, "engine:", ENGINE, flush=True)
 pts, _ = generate_shape("torus", N, radius=1.0)
 cloud = from_numpy(pts, pad_multiple=1 << 16)
 p, npts = cloud.points, cloud.num_points
@@ -43,8 +47,10 @@ def sync(x):
 
 
 base_K = None
-for mb in (3, 4, 5, 6):
-    spec, mc = probe_grid_buckets(grid0, capacity_cap=400, max_buckets=mb)
+for mb in MBS:
+    cap_cap = 400 if K >= 64 else max(256, 4 * K)
+    spec, mc = probe_grid_buckets(grid0, capacity_cap=cap_cap,
+                                  max_buckets=mb)
     rows = sum(sp.max_cells * sp.capacity for sp in spec)
     print(f"max_buckets={mb}: spec={[tuple(sp) for sp in spec]} "
           f"mc={mc} flat_rows={rows}", flush=True)
@@ -52,7 +58,7 @@ for mb in (3, 4, 5, 6):
     def run(spec=spec, mc=mc):
         cell = estimate_cell_size(p, npts, K)
         return fused_curvature(p, npts, cell, k=K, max_cells=mc,
-                               bucket_spec=spec, engine="moments")
+                               bucket_spec=spec, engine=ENGINE)
 
     r = run()
     sync(r.curv.K)

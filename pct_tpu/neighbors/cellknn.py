@@ -698,7 +698,7 @@ def knn_cellwise_bucketed(
 
 
 def moments_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
-                        select_impl: str, fn=None):
+                        select_impl: str, fn=None, mxu: bool = False):
     """Large-k tile body: moment accumulation instead of top-k selection.
 
     Same (one_tile) contract as ``cellwise_tile_runner`` but the
@@ -710,7 +710,9 @@ def moments_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
     every per-bucket lax.map body made the 1M XLA compile pathological).
     ``fn`` is ignored (the curvature chain is fixed — only the explicit
     method exists in moment form); O(32·M) count passes replace O(k·M)
-    argmin rounds.
+    argmin rounds. ``mxu`` rides the 35 weighted sums on the MXU
+    (Pallas path only — the XLA fallback computes the same moments
+    directly).
     """
     del fn
     from pct_tpu.ops.pallas_moments import knn_moments, xla_moment_stats
@@ -721,7 +723,8 @@ def moments_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
         ok_i = ok_cand.astype(jnp.int32)
         if select_impl in ("pallas", "pallas_interpret"):
             stats = knn_moments(qpts, cpts, cand, qrow, ok_i, k,
-                                interpret=select_impl == "pallas_interpret")
+                                interpret=select_impl == "pallas_interpret",
+                                mxu=mxu)
         else:
             stats = xla_moment_stats(qpts, cpts, cand, qrow, ok_i, k)
         sigma = stats[..., 38]
@@ -730,6 +733,17 @@ def moments_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
         return stats, exact, sigma, qrow, ok_q
 
     return one_tile
+
+
+def moments_mxu_tile_runner(grid: GridIndex, k: int, capacity: int,
+                            run_cap: int, select_impl: str, fn=None):
+    """``moments_tile_runner`` with the MXU weighted-sum pass."""
+    return moments_tile_runner(grid, k, capacity, run_cap, select_impl, fn,
+                               mxu=True)
+
+
+def _is_moments_runner(runner) -> bool:
+    return runner in (moments_tile_runner, moments_mxu_tile_runner)
 
 
 def cellwise_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
@@ -806,7 +820,7 @@ def apply_cellwise(
         pack=1 if runner is cellwise_tile_runner else None)
 
     one_tile = runner(grid, k, capacity, run_cap, select_impl, fn)
-    if runner is moments_tile_runner and select_impl == "pallas":
+    if _is_moments_runner(runner) and select_impl == "pallas":
         # the moment kernel's grid axis IS the cell axis: one pallas
         # call over every cell instead of lax.map over tiles — a pallas
         # custom-call inside a mapped while-loop at 1M scale never
@@ -1004,7 +1018,7 @@ def apply_cellwise_bucketed(
             demote_pallas=runner is cellwise_tile_runner,
             pack=1 if runner is cellwise_tile_runner else None):
         one_tile = runner(grid, k, sp.capacity, sp.run_cap, impl_b, fn)
-        if runner is moments_tile_runner and impl_b == "pallas":
+        if _is_moments_runner(runner) and impl_b == "pallas":
             # single pallas call over all of this bucket's cells (see
             # apply_cellwise: pallas-in-lax.map compiles pathologically;
             # the XLA fallback stays tiled)
@@ -1116,6 +1130,84 @@ def _probe_maxrun(grid: GridIndex, cells: CellTable) -> jax.Array:
     return jnp.max(run_len_a, axis=1)
 
 
+def _optimal_buckets(key_s, counts_s, maxrun_s, capacity_cap: int,
+                     max_buckets: int, unit: int):
+    """Exact min-cost partition of key-SORTED cells into <= max_buckets
+    contiguous buckets (the probe's cost model: each bucket pays
+    unit-rounded-cells · capacity · (9·run_cap + 32), with capacity and
+    run_cap the 8-rounded per-bucket maxima of count and run length).
+
+    DP over the 8-aligned key-threshold boundaries —
+    O(max_buckets · |bounds|²) with the inner minimization vectorized.
+    The previous combinations() enumeration was exact only up to 3
+    buckets before its cost exploded on clouds with many thresholds.
+
+    key_s/counts_s/maxrun_s: per-cell arrays sorted by key ascending.
+    Returns a non-empty tuple of BucketSpec.
+    """
+    import numpy as np
+
+    num_cells = len(key_s)
+
+    def r8(x):
+        return np.maximum(8, ((np.asarray(x, np.int64) + 7) // 8) * 8)
+
+    kmax = int(key_s[-1])
+    bounds = sorted(
+        {int(np.searchsorted(key_s, c, side="right"))
+         for c in range(8, int(r8(kmax)) + 1, 8) if c < kmax}
+        | {0, num_cells})
+    B = np.asarray(bounds, dtype=np.int64)
+    nb = len(B)
+    # per-boundary-segment maxima; a bucket [B[j], B[i]) then takes the
+    # RANGE maxima of its own cells (prefix maxima from 0 overpad when a
+    # small-count cell carries a large key via its run length).
+    # run_cap is never clipped to 3·capacity across buckets: a low-count
+    # cell bordering a dense cell has a long run but lands in a
+    # small-capacity bucket, and clipping voided its exactness
+    # certificate (flagged overflowed).
+    seg_c = np.asarray([counts_s[B[j]:B[j + 1]].max(initial=0)
+                        for j in range(nb - 1)], dtype=np.int64)
+    seg_r = np.asarray([maxrun_s[B[j]:B[j + 1]].max(initial=0)
+                        for j in range(nb - 1)], dtype=np.int64)
+    # cost[i][j] for j < i, precomputed (b-independent)
+    cost = [None] * nb
+    for i in range(1, nb):
+        cmax = np.maximum.accumulate(seg_c[:i][::-1])[::-1]
+        rmax = np.maximum.accumulate(seg_r[:i][::-1])[::-1]
+        cap = np.minimum(r8(cmax), capacity_cap)
+        rc = r8(rmax)
+        size = ((B[i] - B[:i] + unit - 1) // unit) * unit
+        cost[i] = size.astype(np.float64) * cap * (9 * rc + 32)
+    dp = np.full(nb, np.inf)
+    dp[0] = 0.0
+    # parent[b, i]: j of the bucket [B[j], B[i]) added at level b, or -1
+    # when level b keeps the (b-1)-bucket solution for i
+    parent = np.full((max_buckets, nb), -1, dtype=np.int64)
+    for b in range(max_buckets):
+        ndp = dp.copy()
+        for i in range(1, nb):
+            tot = dp[:i] + cost[i]
+            j = int(np.argmin(tot))
+            if tot[j] < ndp[i]:
+                ndp[i] = tot[j]
+                parent[b, i] = j
+        dp = ndp
+    out, b, i = [], max_buckets - 1, nb - 1
+    while i > 0:
+        j = parent[b, i]
+        if j < 0:
+            b -= 1
+            continue
+        out.append(BucketSpec(
+            hi_key=int(key_s[B[i] - 1]),
+            capacity=int(min(r8(counts_s[B[j]:B[i]].max()), capacity_cap)),
+            run_cap=int(r8(maxrun_s[B[j]:B[i]].max())),
+            max_cells=int((((B[i] - B[j]) + unit - 1) // unit) * unit)))
+        b, i = b - 1, int(j)
+    return tuple(reversed(out))
+
+
 def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
                        capacity_cap: int = 256, max_buckets: int = 6,
                        size_unit: int | None = None,
@@ -1160,68 +1252,13 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
         num_cells = len(idx)
     key = np.maximum(counts, (maxrun + 2) // 3)
 
-    order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    # prefix maxima over key-sorted cells -> O(1) per-range maxima
-    cmax_pre = np.maximum.accumulate(counts[order])
-    rmax_pre = np.maximum.accumulate(maxrun[order])
-
-    def r8(x):
-        return max(8, ((int(x) + 7) // 8) * 8)
-
     unit = size_unit if size_unit is not None else 4 * tile_cells
 
-    # Bucket boundaries live on the 8-aligned key thresholds. Exact DP
-    # over boundary indices (min total cost with <= max_buckets buckets):
-    # O(max_buckets * |bounds|^2) with the inner minimization vectorized,
-    # vs the previous combinations() search whose cost exploded beyond
-    # max_buckets=3 on clouds with many candidate thresholds.
     spec = (BucketSpec(hi_key=8, capacity=8, run_cap=24, max_cells=unit),)
     if num_cells:
-        kmax = int(key_s[-1])
-        bounds = sorted(
-            {int(np.searchsorted(key_s, c, side="right"))
-             for c in range(8, r8(kmax) + 1, 8) if c < kmax}
-            | {0, num_cells})
-        B = np.asarray(bounds, dtype=np.int64)
-        nb = len(B)
-        # per-end-boundary bucket params (cost factor depends only on hi)
-        cap_i = np.minimum([r8(cmax_pre[b - 1]) for b in B[1:]],
-                           capacity_cap).astype(np.int64)
-        rc_i = np.asarray([r8(rmax_pre[b - 1]) for b in B[1:]],
-                          dtype=np.int64)
-        w_i = (cap_i * (9 * rc_i + 32)).astype(np.float64)
-        INF = np.inf
-        dp = np.full(nb, INF)
-        dp[0] = 0.0
-        # parent[b, i]: j of the bucket [B[j], B[i]) added at level b,
-        # or -1 when level b keeps the (b-1)-bucket solution for i
-        parent = np.full((max_buckets, nb), -1, dtype=np.int64)
-        for b in range(max_buckets):
-            ndp = dp.copy()
-            for i in range(1, nb):
-                m = B[i] - B[:i]
-                size = ((m + unit - 1) // unit) * unit
-                tot = dp[:i] + size.astype(np.float64) * w_i[i - 1]
-                j = int(np.argmin(tot))
-                if tot[j] < ndp[i]:
-                    ndp[i] = tot[j]
-                    parent[b, i] = j
-            dp = ndp
-        if np.isfinite(dp[-1]):
-            out, b, i = [], max_buckets - 1, nb - 1
-            while i > 0:
-                j = parent[b, i]
-                if j < 0:
-                    b -= 1
-                    continue
-                out.append(BucketSpec(
-                    hi_key=int(key_s[B[i] - 1]), capacity=int(cap_i[i - 1]),
-                    run_cap=int(rc_i[i - 1]),
-                    max_cells=int((((B[i] - B[j]) + unit - 1) // unit)
-                                  * unit)))
-                b, i = b - 1, int(j)
-            spec = tuple(reversed(out))
+        order = np.argsort(key, kind="stable")
+        spec = _optimal_buckets(key[order], counts[order], maxrun[order],
+                                capacity_cap, max_buckets, unit)
 
     # mc sizes compact_cells' UNSPLIT table (split_cells multiplies rows
     # by the factor afterwards)

@@ -248,3 +248,61 @@ def test_runs_table_dense_matches_sort_branch():
         # run starts only matter where the run is non-empty
         nz = np.asarray(rl) > 0
         np.testing.assert_array_equal(np.asarray(rs)[nz], np.asarray(rs2)[nz])
+
+
+def test_optimal_buckets_matches_bruteforce():
+    """The DP threshold search must find the true optimum of the probe's
+    cost model: compare achieved cost against exhaustive enumeration of
+    8-aligned threshold subsets on random occupancy distributions."""
+    from itertools import combinations
+
+    from pct_tpu.neighbors.cellknn import _optimal_buckets
+
+    def r8(x):
+        return max(8, ((int(x) + 7) // 8) * 8)
+
+    def spec_cost(key_s, spec, unit):
+        lo_i, total = 0, 0.0
+        for sp in spec:
+            hi_i = int(np.searchsorted(key_s, sp.hi_key, side="right"))
+            m = hi_i - lo_i
+            size = ((m + unit - 1) // unit) * unit
+            total += float(size) * sp.capacity * (9 * sp.run_cap + 32)
+            assert sp.max_cells == size
+            lo_i = hi_i
+        assert lo_i == len(key_s), "spec must cover every cell"
+        return total
+
+    rng = np.random.default_rng(7)
+    unit, cap_cap, mb = 16, 256, 4
+    for trial in range(12):
+        ncells = int(rng.integers(3, 120))
+        counts = rng.integers(1, 300, size=ncells)
+        maxrun = np.maximum(counts, rng.integers(1, 600, size=ncells))
+        key = np.maximum(counts, (maxrun + 2) // 3)
+        order = np.argsort(key, kind="stable")
+        key_s, counts_s, maxrun_s = key[order], counts[order], maxrun[order]
+
+        spec = _optimal_buckets(key_s, counts_s, maxrun_s, cap_cap, mb, unit)
+        got = spec_cost(key_s, spec, unit)
+
+        # exhaustive optimum over the same candidate thresholds
+        kmax = int(key_s[-1])
+        cands = [c for c in range(8, r8(kmax) + 1, 8) if c < kmax]
+        splits = {c: int(np.searchsorted(key_s, c, side="right"))
+                  for c in cands}
+        best = np.inf
+        for nb in range(1, mb + 1):
+            for inner in combinations(cands, nb - 1):
+                idxs = [0] + [splits[c] for c in inner] + [len(key_s)]
+                tot = 0.0
+                for lo_i, hi_i in zip(idxs[:-1], idxs[1:]):
+                    m = hi_i - lo_i
+                    if m <= 0:
+                        continue
+                    cap = min(r8(counts_s[lo_i:hi_i].max()), cap_cap)
+                    rc = r8(maxrun_s[lo_i:hi_i].max())
+                    size = ((m + unit - 1) // unit) * unit
+                    tot += float(size) * cap * (9 * rc + 32)
+                best = min(best, tot)
+        assert got <= best + 1e-6, (trial, got, best)

@@ -82,7 +82,7 @@ def sharded_curvature(
     k: int = 20,
     capacity: int | None = None,
     max_cells: int | None = None,
-    run_cap: int | None = None,
+    cand_cap: int | None = None,
     tile_cells: int = 128,
     method: str = "explicit",
     implicit_mode: str = "exact",
@@ -153,21 +153,21 @@ def sharded_curvature(
     # path); moments runner: auto pack, like the single-chip dispatch
     pack = None if moments else 1
 
-    # normalize both layouts to a list of (capacity, run_cap, impl, args)
+    # normalize both layouts to a list of (capacity, cand_cap, impl, args)
     if bucket_spec is not None:
         buckets = [
-            (sp.capacity, sp.run_cap, impl_b, args)
+            (sp.capacity, sp.cand_cap, impl_b, args)
             for sp, args, impl_b in bucketed_tile_args(
                 grid, cells, bucket_spec, tile_cells, select_impl,
                 pad_tiles_to=d, demote_pallas=not moments, pack=pack)
         ]
     else:
-        if run_cap is None:
-            run_cap = 3 * capacity
+        if cand_cap is None:
+            cand_cap = 27 * capacity
         tile_args, tile_cells, select_impl = _cellwise_setup(
-            grid, cells, capacity, tile_cells, run_cap, select_impl,
+            grid, cells, capacity, tile_cells, cand_cap, select_impl,
             demote_pallas=not moments, pack=pack)
-        buckets = [(capacity, run_cap, select_impl, _pad_tiles(tile_args))]
+        buckets = [(capacity, cand_cap, select_impl, _pad_tiles(tile_args))]
 
     def fn(centered, found):
         del found  # parity: the reference uses all k slots unconditionally

@@ -64,7 +64,7 @@ def slab_curvature(
     k: int = 20,
     halo: int | None = None,
     capacity: int | None = None,
-    run_cap: int | None = None,
+    cand_cap: int | None = None,
     tile_cells: int = 128,
     method: str = "explicit",
     implicit_mode: str = "exact",
@@ -89,8 +89,8 @@ def slab_curvature(
     if capacity is None:
         capacity = ((int(2.5 * k) + 16 + 7) // 8) * 8  # 8-aligned: odd sublane
         # counts compile pathologically slowly in Mosaic (113 s vs 2 s)
-    if run_cap is None:
-        run_cap = 3 * capacity
+    if cand_cap is None:
+        cand_cap = 27 * capacity
     if halo is None:
         halo = max(256, 8 * k)
     n = points.shape[0]
@@ -154,7 +154,7 @@ def slab_curvature(
         # outputs are sliced away below ---
         cells_l = compact_cells(lgrid, max_cells)
         tile_args, _tc, impl = _cellwise_setup(
-            lgrid, cells_l, capacity, tile_cells, run_cap, select_impl,
+            lgrid, cells_l, capacity, tile_cells, cand_cap, select_impl,
             pack=1)  # cellwise_tile_runner fetches unpacked
 
         def fn(centered, found):
@@ -162,7 +162,7 @@ def slab_curvature(
             return _curvature_of_neighborhoods(centered, method,
                                                implicit_mode)
 
-        one_tile = cellwise_tile_runner(lgrid, k, capacity, run_cap,
+        one_tile = cellwise_tile_runner(lgrid, k, capacity, cand_cap,
                                         impl, fn)
         out, exact_t, kth_t, qrow_t, ok_q_t = jax.lax.map(one_tile, tile_args)
         (curv_t, normal_t) = out

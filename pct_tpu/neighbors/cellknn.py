@@ -140,33 +140,72 @@ def _cand_pack(n: int) -> int:
     return 8 if n % 8 == 0 else 1
 
 
-def _cand_groups(run_cap: int, pack: int) -> int:
-    """Groups per run: a run starts anywhere within its first group
-    (offset ≤ pack-1), so gc·pack must cover pack-1 + run_cap slots —
-    gc = ceil((run_cap + pack - 1) / pack). For 8-aligned run_caps at
-    pack=8 this equals the naive run_cap//pack + 1; for pack > 8 with a
-    non-multiple run_cap the naive form UNDER-allocates (run_cap=72,
-    pack=16: 5 groups = 80 slots < the worst-case 87) and would silently
-    truncate runs."""
-    return (run_cap + 2 * pack - 2) // pack
+def _cand_m(cand_cap: int, pack: int) -> int:
+    """Candidate-axis width M for a per-row slot budget ``cand_cap``.
+
+    ``cand_cap`` is the pack-INDEPENDENT budget: the (8-aligned) maximum
+    over cells of the summed 9-run length (probe_grid/_optimal_buckets).
+    The dynamic run packing (see _tile_candidates) lays each run out
+    from a pack-group boundary, so a run of length L with in-group
+    offset o occupies ceil((o+L)/pack)·pack ≤ L + 2·(pack-1) slots —
+    the budget widens by at most 9·(2·pack-2) alignment slack, rounded
+    to whole groups."""
+    if pack <= 1:
+        return cand_cap
+    m = cand_cap + 9 * (2 * pack - 2)
+    return ((m + pack - 1) // pack) * pack
 
 
-def _cand_m(run_cap: int, pack: int) -> int:
-    """Candidate-axis width M for a run cap and packing factor: packed
-    runs round to group boundaries, widening M from 9·run_cap to
-    ~9·(run_cap + pack)."""
-    return 9 * (_cand_groups(run_cap, pack) * pack if pack > 1 else run_cap)
+def _run_layout(rs, run_len, pack: int):
+    """Dynamic run packing: contiguous group-aligned layout of the 9
+    candidate runs along the M axis.
+
+    rs/run_len: (..., 9) per-offset run starts and lengths (sorted rows).
+    Returns (g0, off, Px, tot_g): per-run first source group and
+    in-group offset, the EXCLUSIVE prefix of per-run group counts
+    (..., 10), and the total group count (..., ). Replaces the old
+    static per-run spans of 9·run_cap slots — the padding between a
+    bucket's max run and each cell's actual runs (measured 1.8-2.1×
+    query-candidate pair inflation on the 1M torus at k∈{20,100},
+    scripts/pack_budget.py) never enters the gather or the kernels.
+    """
+    off = rs % pack if pack > 1 else jnp.zeros_like(rs)
+    g0 = rs // pack if pack > 1 else rs
+    grp = jnp.where(run_len > 0, (off + run_len + pack - 1) // pack, 0)
+    incl = jnp.cumsum(grp, axis=-1)
+    Px = jnp.concatenate(
+        [jnp.zeros_like(incl[..., :1]), incl], axis=-1)      # (..., 10)
+    return g0, off, Px, incl[..., -1]
 
 
-def _working_set_guards(capacity: int, tile_cells: int, run_cap: int,
+def _budget_overflow(run_len, cand_cap: int):
+    """(...,) bool: this cell's total candidate count exceeds the
+    pack-1 budget (trailing candidates are then dropped — certificate
+    void). PACK-FREE by design: _tile_candidates clips run lengths
+    against the same budget before layout, so the retained candidate
+    set — and therefore this flag — is identical at every pack (the
+    alignment slack in _cand_m guarantees clipped runs always fit)."""
+    return jnp.sum(run_len, axis=-1) > cand_cap
+
+
+def _clip_runs(run_len, cand_cap: int):
+    """Clip the 9 run lengths so their TOTAL fits the pack-1 budget:
+    run i keeps min(len_i, max(0, cand_cap - Σ_{j<i} len_j)). Greedy
+    front-to-back drop — deterministic and pack-independent."""
+    excl = jnp.cumsum(run_len, axis=-1) - run_len
+    return jnp.clip(cand_cap - excl, 0, run_len)
+
+
+def _working_set_guards(capacity: int, tile_cells: int, cand_cap: int,
                         select_impl: str, demote_pallas: bool = True,
                         pack: int = 1):
     """VMEM/HBM working-set guards (large k => capacity up to 256,
-    M ~ 7k). Returns (tile_cells, select_impl), possibly reduced.
-    ``demote_pallas=False`` skips the pallas->xla fallback (the moment
-    kernel manages its own VMEM via an int32 scratch + chunked passes).
+    M in the thousands). Returns (tile_cells, select_impl), possibly
+    reduced. ``demote_pallas=False`` skips the pallas->xla fallback (the
+    moment kernel manages its own VMEM via an int32 scratch + chunked
+    passes).
     """
-    m_width = _cand_m(run_cap, pack)
+    m_width = _cand_m(cand_cap, pack)
     # pallas select keeps (block_cells, capacity, M) in VMEM; fall back to
     # the XLA path when even one cell's rows exceed the VMEM budget
     if (demote_pallas and select_impl == "pallas"
@@ -280,7 +319,7 @@ def _runs_table(grid: GridIndex, cells: CellTable,
 
 
 def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
-                    tile_cells: int, run_cap: int, select_impl: str,
+                    tile_cells: int, cand_cap: int, select_impl: str,
                     demote_pallas: bool = True, pack: int | None = None):
     """Shared prologue for the single-bucket cell loop: working-set
     guards + runs table + tile padding. ``pack`` must match the pack the
@@ -292,9 +331,10 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     """
     n = grid.sorted_points.shape[0]
     mc = cells.cell_id.shape[0]
+    pack = _cand_pack(n) if pack is None else pack
     tile_cells, select_impl = _working_set_guards(
-        capacity, tile_cells, run_cap, select_impl, demote_pallas,
-        pack=_cand_pack(n) if pack is None else pack)
+        capacity, tile_cells, cand_cap, select_impl, demote_pallas,
+        pack=pack)
     pad_tiles = (-mc) % tile_cells
 
     cid = jnp.pad(cells.cell_id, (0, pad_tiles), constant_values=PAD_ID)
@@ -302,8 +342,7 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     ccount = jnp.pad(cells.count, (0, pad_tiles))
 
     rs_a, run_len_a = _runs_table(grid, cells, cid)
-    overflow_a = jnp.any(run_len_a > run_cap, axis=1)          # (MC,)
-    run_len_a = jnp.minimum(run_len_a, run_cap)
+    overflow_a = _budget_overflow(run_len_a, cand_cap)         # (MC,)
 
     tile_args = (cid.reshape(-1, tile_cells), cstart.reshape(-1, tile_cells),
                  ccount.reshape(-1, tile_cells),
@@ -313,28 +352,36 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     return tile_args, tile_cells, select_impl
 
 
-def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int,
+def _tile_candidates(grid: GridIndex, args, capacity: int, cand_cap: int,
                      with_ids: bool = False, pack: int | None = None):
     """Candidate fetch + coverage radius for one tile of the cell loop.
 
     Returns (cand (T,M) sorted rows, ok_cand (T,M), cpts per-axis
     3-tuple of (T,M) arrays, qpts (T,C,3), qrow (T,C), ok_q (T,C),
     cover (T,C) guaranteed coverage radius, run_overflow (T,),
-    coords (T,3) cell coords), with M = ``_cand_m(run_cap, pack)``.
+    coords (T,3) cell coords), with M = ``_cand_m(cand_cap, pack)``.
     Candidate coordinates come back as SEPARATE per-axis 2D arrays —
     the select/moment kernels consume exactly that layout, and a packed
     (T,M,3) intermediate would tile its trailing 3 onto 128 lanes (42×
     padded traffic; measured 1.5 s/1M in the reshape alone).
 
+    DYNAMIC RUN PACKING: the 9 candidate runs are laid out contiguously
+    along the M axis at computed per-run offsets (group-prefix sums,
+    ``_run_layout``) instead of static 9×run_cap spans — M tracks each
+    bucket's max TOTAL candidate count, which on typical density
+    spreads is ~2× tighter than 9× its max run (scripts/pack_budget.py:
+    0.74→0.36 G pairs at 1M k=20, 2.95→1.61 G at k=100). The M-axis
+    candidate ORDER is preserved (runs in offset order, ascending rows
+    within a run; group-alignment slack rides along masked invalid), so
+    winner sets AND first-argmin tie order are identical to the static
+    layout. Cells whose packed runs exceed the budget drop trailing
+    candidates (deterministically) and must be flagged by the caller
+    via ``_budget_overflow`` — certificate void, repair path.
+
     ``pack`` (default ``_cand_pack(n)``): candidates are fetched
     ``pack`` consecutive sorted points per gathered row — the gather is
-    row-count-bound on TPU (see ``_cand_pack``), and runs are
-    contiguous, so rounding each run to pack-group boundaries cuts the
-    row count ``pack``× for a ≤pack-element overfetch per run edge. The
-    M-axis candidate ORDER is unchanged (runs in offset order, ascending
-    rows within a run; group-alignment slack rides along masked
-    invalid), so winner sets AND first-argmin tie order are identical
-    to the unpacked layout.
+    row-count-bound on TPU (see ``_cand_pack``) — each run starting at
+    a pack-group boundary.
 
     ``with_ids``: ``cand`` carries the candidates' ORIGINAL point ids
     instead of sorted rows, fetched in the SAME row gather as the
@@ -356,52 +403,67 @@ def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int,
     ix, iy, iz = _decode(jnp.where(cell_id == PAD_ID, 0, cell_id))
     if pack is None:
         pack = _cand_pack(n)
+    p = pack
+    m_axis = _cand_m(cand_cap, p)
+    mg = m_axis // p
     qrow = jnp.minimum(start[:, None] + jnp.arange(capacity,
                                                    dtype=jnp.int32), n - 1)
     ok_q = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
-    if pack > 1:
-        # --- packed fetch: pack consecutive points per gathered row,
+
+    # --- computed gather indices for the packed-run layout ---
+    # clip runs against the PACK-1 budget first: overflowing cells then
+    # retain the same candidate set at every pack (see _budget_overflow)
+    run_len = _clip_runs(run_len, cand_cap)
+    g0, off, Px, tot_g = _run_layout(rs, run_len, p)          # (T,9),(T,10)
+    j = jnp.arange(mg, dtype=jnp.int32)
+    # run of each output group: #runs whose exclusive prefix <= j
+    rj = jnp.sum((j[None, None, :] >= Px[:, 1:10, None]).astype(jnp.int32),
+                 axis=1)                                      # (T,mg) 0..8
+
+    def sel9(a):                                              # (T,9)->(T,mg)
+        acc = None
+        for r in range(9):
+            t = jnp.where(rj == r, a[:, r:r + 1], 0)
+            acc = t if acc is None else acc + t
+        return acc
+
+    g0j, pj, offj, lenj = sel9(g0), sel9(Px[:, :9]), sel9(off), sel9(run_len)
+    ok_g = j[None, :] < tot_g[:, None]                        # (T, mg)
+    grow = jnp.clip(g0j + (j[None, :] - pj), 0, n // p - 1)   # (T, mg)
+    u = jnp.arange(p, dtype=jnp.int32)
+    s_in = ((j[None, :, None] - pj[..., None]) * p
+            + u[None, None, :] - offj[..., None])             # (T, mg, p)
+    ok_cand = (ok_g[..., None] & (s_in >= 0)
+               & (s_in < lenj[..., None])).reshape(T, m_axis)
+
+    if p > 1:
+        # --- packed fetch: p consecutive points per gathered row,
         # channels GROUPED BY AXIS ([x·p | y·p | z·p | id·p]) so each
         # axis extracts as one contiguous lane slice into a clean 2D
         # (T, M) array — never materializing a trailing-3 tensor ---
         ch = 4 if with_ids else 3
-        gc = _cand_groups(run_cap, pack)   # groups per run
-        g0 = rs // pack                    # (T, 9) first group of each run
-        off = rs - g0 * pack               # run start within its group
-        grow = jnp.minimum(
-            g0[..., None] + jnp.arange(gc, dtype=jnp.int32)[None, None, :],
-            n // pack - 1)                                   # (T, 9, gc)
-        e = jnp.arange(gc * pack, dtype=jnp.int32)[None, None, :]
-        ok_cand = ((e >= off[..., None])
-                   & (e < off[..., None] + run_len[..., None]))
-        ok_cand = ok_cand.reshape(T, 9 * gc * pack)
         cols = [grid.sorted_points]
         if with_ids:
             cols.append(grid.order.astype(jnp.float32)[:, None])
         table = jnp.concatenate(cols, axis=1) if with_ids else cols[0]
-        table = table.reshape(n // pack, pack, ch).transpose(0, 2, 1)
-        table = table.reshape(n // pack, ch * pack)
-        g = table[grow.reshape(T, 9 * gc)]                   # (T,9gc,ch·pk)
-        m_axis = 9 * gc * pack
+        table = table.reshape(n // p, p, ch).transpose(0, 2, 1)
+        table = table.reshape(n // p, ch * p)
+        g = table[grow]                                      # (T, mg, ch·p)
 
         def lane(a):
-            return g[..., a * pack:(a + 1) * pack].reshape(T, m_axis)
+            return g[..., a * p:(a + 1) * p].reshape(T, m_axis)
 
         cpts = (lane(0), lane(1), lane(2))
         if with_ids:
             cand = lane(3).astype(jnp.int32)
             qrow_out = grid.order[qrow]                      # (T, C): ~n/occ
         else:
-            cand = ((g0 * pack)[..., None] + e).reshape(T, m_axis)
+            cand = (grow[..., None] * p
+                    + u[None, None, :]).reshape(T, m_axis)
             qrow_out = qrow
         qpts = grid.sorted_points[qrow]
     else:
-        # --- candidate rows: (T, 9, run_cap) sorted positions ---
-        slot = jnp.arange(run_cap, dtype=jnp.int32)
-        cand = jnp.minimum(rs[..., None] + slot, n - 1)
-        ok_cand = slot[None, None, :] < run_len[..., None]
-        cand = cand.reshape(T, 9 * run_cap)
-        ok_cand = ok_cand.reshape(T, 9 * run_cap)
+        cand = grow                                          # (T, M) rows
         if with_ids:
             packed = jnp.concatenate(
                 [grid.sorted_points,
@@ -409,9 +471,8 @@ def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int,
             g = packed[cand]                                 # (T, M, 4)
             cpts = (g[..., 0], g[..., 1], g[..., 2])
             cand = g[..., 3].astype(jnp.int32)
-            qrow_ids = grid.order[qrow]                      # (T, C): ~n/occ
             qpts = grid.sorted_points[qrow]
-            qrow_out = qrow_ids
+            qrow_out = grid.order[qrow]                      # (T, C): ~n/occ
         else:
             g = grid.sorted_points[cand]                     # (T, M, 3)
             cpts = (g[..., 0], g[..., 1], g[..., 2])
@@ -432,7 +493,7 @@ def _tile_candidates(grid: GridIndex, args, capacity: int, run_cap: int,
             coords)
 
 
-def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
+def _tile_select(grid: GridIndex, args, k: int, capacity: int, cand_cap: int,
                  select_impl: str, want: str = "pos",
                  with_ids: bool = False, pack: int | None = None):
     """One tile of the cell loop: candidate fetch + fused k-selection.
@@ -457,8 +518,17 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
     """
     inf = jnp.float32(jnp.inf)
     cand, ok_cand, cpts, qpts, qrow, ok_q, cover, run_overflow, coords = \
-        _tile_candidates(grid, args, capacity, run_cap, with_ids=with_ids,
+        _tile_candidates(grid, args, capacity, cand_cap, with_ids=with_ids,
                          pack=pack)
+    # degenerate tiny clouds: the packed M axis can fall below k (the
+    # old static 9·run_cap layout never did) — top_k and the select
+    # kernels need >= k slots; pad with invalid candidates
+    k8 = ((k + 7) // 8) * 8
+    if cand.shape[1] < k8:
+        padm = k8 - cand.shape[1]
+        cand = jnp.pad(cand, ((0, 0), (0, padm)))
+        ok_cand = jnp.pad(ok_cand, ((0, 0), (0, padm)))
+        cpts = tuple(jnp.pad(a, ((0, 0), (0, padm))) for a in cpts)
     T = cand.shape[0]
     pos = None
     win = None
@@ -519,7 +589,7 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, run_cap: int,
     return pos, dists, found, cand, cpts, qpts, qrow, ok_q, exact
 
 
-@partial(jax.jit, static_argnames=("k", "capacity", "tile_cells", "run_cap",
+@partial(jax.jit, static_argnames=("k", "capacity", "tile_cells", "cand_cap",
                                    "original_ids", "lean", "select_impl"))
 def knn_cellwise(
     grid: GridIndex,
@@ -527,7 +597,7 @@ def knn_cellwise(
     k: int,
     capacity: int = 64,
     tile_cells: int = 128,
-    run_cap: int | None = None,
+    cand_cap: int | None = None,
     original_ids: bool = True,
     lean: bool = False,
     select_impl: str | None = None,
@@ -538,16 +608,17 @@ def knn_cellwise(
     ``original_ids``; otherwise SORTED-space row ids (skips an 84M-element
     gather — the fused pipeline gathers neighborhoods from sorted_points
     directly). A row's query is grid.sorted_points[row]. ``capacity`` is
-    the max points considered per cell; ``run_cap`` caps each 3-cell
-    x-run (default 3·capacity; probe_grid supplies the exact maximum).
+    the max points considered per cell; ``cand_cap`` budgets the TOTAL
+    packed candidate slots per cell (default 27·capacity — the full 3³
+    window at max occupancy; probe_grid supplies the exact maximum).
     """
     if select_impl is None:
         select_impl = default_select_impl()
     n = grid.sorted_points.shape[0]
-    if run_cap is None:
-        run_cap = 3 * capacity
+    if cand_cap is None:
+        cand_cap = 27 * capacity
     tile_args, tile_cells, select_impl = _cellwise_setup(
-        grid, cells, capacity, tile_cells, run_cap, select_impl)
+        grid, cells, capacity, tile_cells, cand_cap, select_impl)
 
     use_ids = original_ids and n < (1 << 24)   # f32-exact id range
 
@@ -556,7 +627,7 @@ def knn_cellwise(
         # packed candidate gather — the (N,k) grid.order[rows] gather
         # (measured 0.9 s/1M) never happens
         rows, dists, found, _, _, _, qrow, ok_q, exact = _tile_select(
-            grid, args, k, capacity, run_cap, select_impl, want="rows",
+            grid, args, k, capacity, cand_cap, select_impl, want="rows",
             with_ids=use_ids)
         del found      # validity is re-derived from the distances below
         if original_ids and not use_ids:
@@ -612,7 +683,7 @@ def knn_cellwise_bucketed(
 ) -> NeighborResult:
     """``knn_cellwise`` over occupancy-bucketed cells (library kNN fast
     path): each bucket runs the rows-emitting select kernel with its own
-    (capacity, run_cap) statics, so select/gather padding tracks each
+    (capacity, cand_cap) statics, so select/gather padding tracks each
     cell's actual size instead of the global maximum — the same lever
     that makes the fused curvature path fast. The final reorder stays a
     GATHER (TPU scatter of (N,k) rows costs ~1 s/1M): each sorted row
@@ -634,7 +705,7 @@ def knn_cellwise_bucketed(
             # with_ids: original ids from the packed candidate gather —
             # no (N,k) grid.order[rows] gather (measured 0.9 s/1M)
             rows, dists, found, _, _, _, qrow, ok_q, exact = _tile_select(
-                grid, args, k, sp.capacity, sp.run_cap, impl_b, want="rows",
+                grid, args, k, sp.capacity, sp.cand_cap, impl_b, want="rows",
                 with_ids=use_ids)
             del found  # validity is re-derived from the distances below
             if original_ids and not use_ids:
@@ -651,8 +722,8 @@ def knn_cellwise_bucketed(
     # --- per-cell source map: bucket membership replayed exactly as
     # _bucket_tables partitions (same key, same thresholds, same rank) ---
     _, run_len_a = _runs_table(grid, cells)
-    maxrun = jnp.max(run_len_a, axis=1)
-    key = jnp.maximum(cells.count, (maxrun + 2) // 3)
+    tot = jnp.sum(run_len_a, axis=1)
+    key = jnp.maximum(cells.count, (tot + 26) // 27)
     valid = cells.cell_id != PAD_ID
     nb = len(bucket_spec)
     cell_base = jnp.zeros((mc_total,), jnp.int32)
@@ -697,7 +768,7 @@ def knn_cellwise_bucketed(
     return NeighborResult(out_idx, out_d, out_f, out_e)
 
 
-def moments_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
+def moments_tile_runner(grid: GridIndex, k: int, capacity: int, cand_cap: int,
                         select_impl: str, fn=None, mxu: bool = False):
     """Large-k tile body: moment accumulation instead of top-k selection.
 
@@ -719,7 +790,7 @@ def moments_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
 
     def one_tile(args):
         cand, ok_cand, cpts, qpts, qrow, ok_q, cover, run_overflow, _ = \
-            _tile_candidates(grid, args, capacity, run_cap)
+            _tile_candidates(grid, args, capacity, cand_cap)
         ok_i = ok_cand.astype(jnp.int32)
         if select_impl in ("pallas", "pallas_interpret"):
             stats = knn_moments(qpts, cpts, cand, qrow, ok_i, k,
@@ -736,9 +807,9 @@ def moments_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
 
 
 def moments_mxu_tile_runner(grid: GridIndex, k: int, capacity: int,
-                            run_cap: int, select_impl: str, fn=None):
+                            cand_cap: int, select_impl: str, fn=None):
     """``moments_tile_runner`` with the MXU weighted-sum pass."""
-    return moments_tile_runner(grid, k, capacity, run_cap, select_impl, fn,
+    return moments_tile_runner(grid, k, capacity, cand_cap, select_impl, fn,
                                mxu=True)
 
 
@@ -746,7 +817,7 @@ def _is_moments_runner(runner) -> bool:
     return runner in (moments_tile_runner, moments_mxu_tile_runner)
 
 
-def cellwise_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
+def cellwise_tile_runner(grid: GridIndex, k: int, capacity: int, cand_cap: int,
                          select_impl: str, fn):
     """One-tile body of the fused cell loop, shared by ``apply_cellwise``
     and the distributed layer (which shards the tile axis over a device
@@ -761,7 +832,7 @@ def cellwise_tile_runner(grid: GridIndex, k: int, capacity: int, run_cap: int,
         # is cheap here and the per-axis unpack relayout dominates
         # (measured 0.626 -> 1.51 s/1M at k=20; see _cand_pack)
         nbrs, dists, found, _, _, qpts, qrow, ok_q, exact = _tile_select(
-            grid, args, k, capacity, run_cap, select_impl, want="coords",
+            grid, args, k, capacity, cand_cap, select_impl, want="coords",
             pack=1)
         centered = nbrs - qpts[:, :, None, :]
         out = fn(centered, found)
@@ -777,7 +848,7 @@ def apply_cellwise(
     fn,
     capacity: int = 64,
     tile_cells: int = 128,
-    run_cap: int | None = None,
+    cand_cap: int | None = None,
     select_impl: str | None = None,
     dest_order: str = "original",
     runner=None,
@@ -812,14 +883,14 @@ def apply_cellwise(
     if select_impl is None:
         select_impl = default_select_impl()
     n = grid.sorted_points.shape[0]
-    if run_cap is None:
-        run_cap = 3 * capacity
+    if cand_cap is None:
+        cand_cap = 27 * capacity
     tile_args, tile_cells, select_impl = _cellwise_setup(
-        grid, cells, capacity, tile_cells, run_cap, select_impl,
+        grid, cells, capacity, tile_cells, cand_cap, select_impl,
         demote_pallas=runner is cellwise_tile_runner,
         pack=1 if runner is cellwise_tile_runner else None)
 
-    one_tile = runner(grid, k, capacity, run_cap, select_impl, fn)
+    one_tile = runner(grid, k, capacity, cand_cap, select_impl, fn)
     if _is_moments_runner(runner) and select_impl == "pallas":
         # the moment kernel's grid axis IS the cell axis: one pallas
         # call over every cell instead of lax.map over tiles — a pallas
@@ -888,15 +959,17 @@ def _scatter_outputs(n: int, dest, out, exact, kth):
 class BucketSpec(NamedTuple):
     """Static shape class for one occupancy bucket of the cell loop.
 
-    Cells are partitioned by ``key = max(count, ceil(max_run/3))`` — the
-    per-cell size class that bounds BOTH padding axes (query slots and
-    candidate width). One (capacity, run_cap) compiled for the fullest
-    cell wastes ~3x VPU work on a typical density spread; per-bucket
-    statics keep the padding proportional to each cell's actual size.
+    Cells are partitioned by ``key = max(count, ceil(total_run/27))`` —
+    the per-cell size class that correlates BOTH padding axes (query
+    slots and candidate width). One (capacity, cand_cap) compiled for
+    the fullest cell wastes ~3x VPU work on a typical density spread;
+    per-bucket statics keep the padding proportional to each cell's
+    actual size.
     """
     hi_key: int      # bucket takes cells with key in (prev.hi_key, hi_key]
     capacity: int    # query slots (>= max count among members)
-    run_cap: int     # candidate run width (>= max run among members)
+    cand_cap: int    # packed candidate budget (>= max summed-9-run
+    # length among members; pack-group slack is added by _cand_m)
     max_cells: int   # static member-table size (tile-rounded)
 
 
@@ -912,8 +985,8 @@ def _bucket_tables(grid: GridIndex, cells: CellTable,
     """
     n = grid.sorted_points.shape[0]
     rs_a, run_len_a = _runs_table(grid, cells)
-    maxrun = jnp.max(run_len_a, axis=1)
-    key = jnp.maximum(cells.count, (maxrun + 2) // 3)
+    tot = jnp.sum(run_len_a, axis=1)
+    key = jnp.maximum(cells.count, (tot + 26) // 27)
     valid = cells.cell_id != PAD_ID
     tables = []
     lo = 0
@@ -953,11 +1026,11 @@ def bucketed_tile_args(grid: GridIndex, cells: CellTable,
     tables = _bucket_tables(grid, cells, spec)
     out = []
     for sp, (cid_b, start_b, count_b, rs_b, rl_b, lost) in zip(spec, tables):
+        pack_b = _cand_pack(n) if pack is None else pack
         tc_b, impl_b = _working_set_guards(
-            sp.capacity, tile_cells, sp.run_cap, select_impl, demote_pallas,
-            pack=_cand_pack(n) if pack is None else pack)
-        overflow_b = jnp.any(rl_b > sp.run_cap, axis=1) | lost
-        rl_b = jnp.minimum(rl_b, sp.run_cap)
+            sp.capacity, tile_cells, sp.cand_cap, select_impl, demote_pallas,
+            pack=pack_b)
+        overflow_b = _budget_overflow(rl_b, sp.cand_cap) | lost
         pad = (-sp.max_cells) % tc_b
         tile_args = (
             jnp.pad(cid_b, (0, pad), constant_values=PAD_ID
@@ -994,7 +1067,7 @@ def apply_cellwise_bucketed(
     post_fn=None,
 ):
     """``apply_cellwise`` over occupancy-bucketed cells: each bucket runs
-    the cell loop with its own (capacity, run_cap) statics, so padding
+    the cell loop with its own (capacity, cand_cap) statics, so padding
     waste in the candidate gather, the select kernel, and the in-loop
     ``fn`` tracks each cell's actual size instead of the global maximum.
     Semantics identical to apply_cellwise (``probe_grid_buckets``
@@ -1017,7 +1090,7 @@ def apply_cellwise_bucketed(
             grid, cells, spec, tile_cells, select_impl,
             demote_pallas=runner is cellwise_tile_runner,
             pack=1 if runner is cellwise_tile_runner else None):
-        one_tile = runner(grid, k, sp.capacity, sp.run_cap, impl_b, fn)
+        one_tile = runner(grid, k, sp.capacity, sp.cand_cap, impl_b, fn)
         if _is_moments_runner(runner) and impl_b == "pallas":
             # single pallas call over all of this bucket's cells (see
             # apply_cellwise: pallas-in-lax.map compiles pathologically;
@@ -1072,36 +1145,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@jax.jit
-def _max_run_length(grid: GridIndex, cells: CellTable) -> jax.Array:
-    """Longest 3-cell x-run over all occupied cells' 9 (dy,dz) offsets."""
-    cid = cells.cell_id
-    ix, iy, iz = _decode(jnp.where(cid == PAD_ID, 0, cid))
-    dyz = jnp.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
-                    dtype=jnp.int32)
-    ny = iy[:, None] + dyz[None, :, 0]
-    nz = iz[:, None] + dyz[None, :, 1]
-    ok = ((ny >= 0) & (ny < grid.dims[1]) & (nz >= 0) & (nz < grid.dims[2])
-          & (cid != PAD_ID)[:, None])
-    base = ny * MAXDIM + nz * MAXDIM * MAXDIM
-    lo = base + jnp.maximum(ix - 1, 0)[:, None]
-    hi = base + jnp.minimum(ix + 1, grid.dims[0] - 1)[:, None]
-    rs = jnp.searchsorted(grid.sorted_ids, lo, method="sort")
-    re = jnp.searchsorted(grid.sorted_ids, hi + 1, method="sort")
-    return jnp.max(jnp.where(ok, re - rs, 0))
-
-
 def probe_grid(grid: GridIndex, tile_cells: int = 128, capacity_cap: int = 256
                ) -> tuple[CellTable, int, int, int]:
     """Host-side adaptive tuning: one full compaction + one scalar sync.
 
-    Returns (tight CellTable, capacity, max_cells, run_cap): capacity
+    Returns (tight CellTable, capacity, max_cells, cand_cap): capacity
     covers the fullest cell (capped — overfull cells then fall to the
     repair path via exact=False), max_cells is the occupied count rounded
-    to the tile, run_cap the true longest candidate run (so the kernel
-    carries zero padding waste in the candidate axis). Statics are
-    bucketed (pow2 / multiples of 8) so recompiles stay bounded across
-    clouds of a family.
+    to the tile, cand_cap the true max TOTAL 9-run candidate count (so
+    the packed-run layout carries zero padding waste in the candidate
+    axis beyond group alignment). Statics are bucketed (pow2 / multiples
+    of 8) so recompiles stay bounded across clouds of a family.
     """
     n = grid.sorted_points.shape[0]
     probe = compact_cells(grid, n)
@@ -1118,31 +1172,33 @@ def probe_grid(grid: GridIndex, tile_cells: int = 128, capacity_cap: int = 256
         probe.cell_id[:mc], probe.start[:mc], probe.count[:mc],
         probe.num_cells, probe.num_cells > mc, probe.max_count,
     )
-    run_cap = int(np.asarray(_max_run_length(grid, cells)))
-    run_cap = min(_round_up(max(run_cap, 4), 8), 3 * capacity)
-    return cells, capacity, mc, run_cap
+    cand_cap = int(np.asarray(jnp.max(_probe_totrun(grid, cells))))
+    cand_cap = min(_round_up(max(cand_cap, 4), 8), 27 * capacity)
+    return cells, capacity, mc, cand_cap
 
 
 @jax.jit
-def _probe_maxrun(grid: GridIndex, cells: CellTable) -> jax.Array:
-    """(MC,) per-cell max 3-cell x-run length over the 9 (dy,dz) offsets."""
+def _probe_totrun(grid: GridIndex, cells: CellTable) -> jax.Array:
+    """(MC,) per-cell TOTAL candidate count: summed 3-cell x-run length
+    over the 9 (dy,dz) offsets — what the packed-run layout budgets."""
     _, run_len_a = _runs_table(grid, cells)
-    return jnp.max(run_len_a, axis=1)
+    return jnp.sum(run_len_a, axis=1)
 
 
-def _optimal_buckets(key_s, counts_s, maxrun_s, capacity_cap: int,
+def _optimal_buckets(key_s, counts_s, tot_s, capacity_cap: int,
                      max_buckets: int, unit: int):
     """Exact min-cost partition of key-SORTED cells into <= max_buckets
     contiguous buckets (the probe's cost model: each bucket pays
-    unit-rounded-cells · capacity · (9·run_cap + 32), with capacity and
-    run_cap the 8-rounded per-bucket maxima of count and run length).
+    unit-rounded-cells · capacity · (cand_cap + 32), with capacity and
+    cand_cap the 8-rounded per-bucket maxima of count and TOTAL packed
+    run length).
 
     DP over the 8-aligned key-threshold boundaries —
     O(max_buckets · |bounds|²) with the inner minimization vectorized.
     The previous combinations() enumeration was exact only up to 3
     buckets before its cost exploded on clouds with many thresholds.
 
-    key_s/counts_s/maxrun_s: per-cell arrays sorted by key ascending.
+    key_s/counts_s/tot_s: per-cell arrays sorted by key ascending.
     Returns a non-empty tuple of BucketSpec.
     """
     import numpy as np
@@ -1161,14 +1217,14 @@ def _optimal_buckets(key_s, counts_s, maxrun_s, capacity_cap: int,
     nb = len(B)
     # per-boundary-segment maxima; a bucket [B[j], B[i]) then takes the
     # RANGE maxima of its own cells (prefix maxima from 0 overpad when a
-    # small-count cell carries a large key via its run length).
-    # run_cap is never clipped to 3·capacity across buckets: a low-count
-    # cell bordering a dense cell has a long run but lands in a
-    # small-capacity bucket, and clipping voided its exactness
+    # small-count cell carries a large key via its candidate total).
+    # cand_cap is never clipped by capacity across buckets: a low-count
+    # cell bordering a dense cell has a big candidate total but lands in
+    # a small-capacity bucket, and clipping voided its exactness
     # certificate (flagged overflowed).
     seg_c = np.asarray([counts_s[B[j]:B[j + 1]].max(initial=0)
                         for j in range(nb - 1)], dtype=np.int64)
-    seg_r = np.asarray([maxrun_s[B[j]:B[j + 1]].max(initial=0)
+    seg_r = np.asarray([tot_s[B[j]:B[j + 1]].max(initial=0)
                         for j in range(nb - 1)], dtype=np.int64)
     # cost[i][j] for j < i, precomputed (b-independent)
     cost = [None] * nb
@@ -1178,7 +1234,7 @@ def _optimal_buckets(key_s, counts_s, maxrun_s, capacity_cap: int,
         cap = np.minimum(r8(cmax), capacity_cap)
         rc = r8(rmax)
         size = ((B[i] - B[:i] + unit - 1) // unit) * unit
-        cost[i] = size.astype(np.float64) * cap * (9 * rc + 32)
+        cost[i] = size.astype(np.float64) * cap * (rc + 32.0)
     dp = np.full(nb, np.inf)
     dp[0] = 0.0
     # parent[b, i]: j of the bucket [B[j], B[i]) added at level b, or -1
@@ -1202,7 +1258,7 @@ def _optimal_buckets(key_s, counts_s, maxrun_s, capacity_cap: int,
         out.append(BucketSpec(
             hi_key=int(key_s[B[i] - 1]),
             capacity=int(min(r8(counts_s[B[j]:B[i]].max()), capacity_cap)),
-            run_cap=int(r8(maxrun_s[B[j]:B[i]].max())),
+            cand_cap=int(r8(tot_s[B[j]:B[i]].max())),
             max_cells=int((((B[i] - B[j]) + unit - 1) // unit) * unit)))
         b, i = b - 1, int(j)
     return tuple(reversed(out))
@@ -1215,9 +1271,9 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
     """Host-side bucket tuning: one compaction + runs probe + one sync.
 
     Partitions occupied cells by size class key = max(count,
-    ceil(max_run/3)) into <= max_buckets buckets, choosing the 8-aligned
-    thresholds that minimize the modeled cell-loop cost
-    Σ_b cells_b · capacity_b · (9·run_cap_b + 32) — the select kernel's
+    ceil(total_run/27)) into <= max_buckets buckets, choosing the
+    8-aligned thresholds that minimize the modeled cell-loop cost
+    Σ_b cells_b · capacity_b · (cand_cap_b + 32) — the select kernel's
     work plus a constant per-slot term for the fused curvature chain.
     Sizes are rounded to ``size_unit`` (default 4·tile_cells: sub-1%
     padded-cell waste at production sizes; statics change per cloud, so
@@ -1239,7 +1295,7 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
     probe = compact_cells(grid, n)
     num_cells = int(np.asarray(probe.num_cells))
     counts = np.asarray(probe.count)[:num_cells]
-    maxrun = np.asarray(_probe_maxrun(grid, probe))[:num_cells]
+    tot = np.asarray(_probe_totrun(grid, probe))[:num_cells]
     factor = 1
     num_cells_unsplit = num_cells
     if split_to is not None and num_cells and counts.max() > split_to:
@@ -1248,16 +1304,16 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
         idx = np.repeat(np.arange(num_cells), reps)
         within = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
         counts = np.minimum(counts[idx] - within * split_to, split_to)
-        maxrun = maxrun[idx]
+        tot = tot[idx]       # virtual copies keep the full candidate set
         num_cells = len(idx)
-    key = np.maximum(counts, (maxrun + 2) // 3)
+    key = np.maximum(counts, (tot + 26) // 27)
 
     unit = size_unit if size_unit is not None else 4 * tile_cells
 
-    spec = (BucketSpec(hi_key=8, capacity=8, run_cap=24, max_cells=unit),)
+    spec = (BucketSpec(hi_key=8, capacity=8, cand_cap=216, max_cells=unit),)
     if num_cells:
         order = np.argsort(key, kind="stable")
-        spec = _optimal_buckets(key[order], counts[order], maxrun[order],
+        spec = _optimal_buckets(key[order], counts[order], tot[order],
                                 capacity_cap, max_buckets, unit)
 
     # mc sizes compact_cells' UNSPLIT table (split_cells multiplies rows
@@ -1272,9 +1328,9 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
 def knn_all_points_auto(grid: GridIndex, k: int, tile_cells: int = 128
                         ) -> NeighborResult:
     """Self-kNN with host-probed capacity: minimal slot padding."""
-    cells, capacity, _, run_cap = probe_grid(grid, tile_cells)
+    cells, capacity, _, cand_cap = probe_grid(grid, tile_cells)
     return knn_cellwise(grid, cells, k, capacity=capacity,
-                        tile_cells=tile_cells, run_cap=run_cap)
+                        tile_cells=tile_cells, cand_cap=cand_cap)
 
 
 def knn_all_points_auto_bucketed(grid: GridIndex, k: int,

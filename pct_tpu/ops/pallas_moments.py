@@ -246,7 +246,13 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
     cp = c + pad_c
     px, py, pz = _axes3(cpts)
     m = px.shape[1]
-    chunk = min(chunk, ((m + 127) // 128) * 128)
+    # minimal-padding chunking: the fewest `chunk`-bounded pieces, each
+    # the smallest 128-multiple that covers m/g (the packed-run M axis
+    # is no longer a power-of-two-ish multiple of 1024; naive rounding
+    # to the requested chunk padded M up to ~60%)
+    g_min = -(-m // chunk)
+    per_piece = -(-m // g_min)
+    chunk = -(-per_piece // 128) * 128
     pad_m = (-m) % chunk
     if pad_m:
         px, py, pz = (jnp.pad(a, ((0, 0), (0, pad_m)))

@@ -67,7 +67,7 @@ def _curvature_of_neighborhoods(centered, method, implicit_mode):
 
 
 @partial(jax.jit, static_argnames=("k", "capacity", "max_cells", "tile_cells",
-                                   "run_cap", "method", "implicit_mode",
+                                   "cand_cap", "method", "implicit_mode",
                                    "bucket_spec", "engine", "split"))
 def _fused_curvature_jit(
     points: jax.Array,
@@ -77,7 +77,7 @@ def _fused_curvature_jit(
     capacity: int | None = None,
     max_cells: int | None = None,
     tile_cells: int = 128,
-    run_cap: int | None = None,
+    cand_cap: int | None = None,
     method: str = "explicit",
     implicit_mode: str = "exact",
     bucket_spec: tuple | None = None,
@@ -86,12 +86,12 @@ def _fused_curvature_jit(
 ) -> FusedResult:
     """One XLA program: everything from raw padded points to curvatures.
 
-    Static capacities (``capacity``, ``max_cells``, ``run_cap``) default
+    Static capacities (``capacity``, ``max_cells``, ``cand_cap``) default
     to conservative heuristics; pass the values from
     ``neighbors.cellknn.probe_grid`` for a tuned zero-waste layout, or a
     ``bucket_spec`` from ``probe_grid_buckets`` (tuple of BucketSpec) to
     run the cell loop occupancy-bucketed — padding waste then tracks each
-    cell's actual size (capacity/run_cap are ignored in that case). No
+    cell's actual size (capacity/cand_cap are ignored in that case). No
     exactness repair pass inside (that needs a host decision) — the
     ``exact`` output lets the caller audit coverage.
 
@@ -162,7 +162,7 @@ def _fused_curvature_jit(
     else:
         out, exact, kth = apply_cellwise(
             grid, cells, k, fn, capacity=capacity, tile_cells=tile_cells,
-            run_cap=run_cap, dest_order="original", runner=runner,
+            cand_cap=cand_cap, dest_order="original", runner=runner,
             post_fn=post_fn)
     if engine == "moments":
         curv, normals = out["curv"], out["normals"]
@@ -197,7 +197,7 @@ def _prime_moment_kernels(dtype, spec, k: int, pack: int = 1):
 
     for sp in spec:
         t_cells = sp.max_cells
-        m = _cand_m(sp.run_cap, pack)
+        m = _cand_m(sp.cand_cap, pack)
         z3 = jnp.zeros((t_cells, sp.capacity, 3), dtype)
         c3 = jnp.zeros((t_cells, m, 3), dtype)
         icand = jnp.full((t_cells, m), -2, jnp.int32)
@@ -215,7 +215,7 @@ def fused_curvature(
     capacity: int | None = None,
     max_cells: int | None = None,
     tile_cells: int = 128,
-    run_cap: int | None = None,
+    cand_cap: int | None = None,
     method: str = "explicit",
     implicit_mode: str = "exact",
     bucket_spec: tuple | None = None,
@@ -239,7 +239,7 @@ def fused_curvature(
                               pack=_cand_pack(points.shape[0]))
     return _fused_curvature_jit(
         points, num_points, cell_size, k=k, capacity=capacity,
-        max_cells=max_cells, tile_cells=tile_cells, run_cap=run_cap,
+        max_cells=max_cells, tile_cells=tile_cells, cand_cap=cand_cap,
         method=method, implicit_mode=implicit_mode,
         bucket_spec=bucket_spec, engine=engine, split=split)
 
@@ -290,7 +290,7 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
         return moments_route()
     spec, mc = probe_grid_buckets(grid, capacity_cap=max(256, 4 * k))
     # select path runs unpacked (cellwise_tile_runner pins pack=1)
-    select_ok = all(sp.capacity * 9 * sp.run_cap * 4 * 3 <= 10 << 20
+    select_ok = all(sp.capacity * sp.cand_cap * 4 * 3 <= 10 << 20
                     for sp in spec)
     if not select_ok:
         if method != "explicit":

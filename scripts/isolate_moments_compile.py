@@ -48,7 +48,7 @@ def main():
     buckets = bucketed_tile_args(grid, cells, spec, 128, "pallas",
                                  demote_pallas=False)
     print("probe+args:", round(time.perf_counter() - t0, 1), "s; spec:",
-          [(sp.capacity, sp.run_cap, sp.max_cells) for sp, _, _ in buckets],
+          [(sp.capacity, sp.cand_cap, sp.max_cells) for sp, _, _ in buckets],
           flush=True)
 
     # --- stage A: single-bucket map ---
@@ -56,7 +56,7 @@ def main():
 
     @jax.jit
     def stage_a(grid, args):
-        one_tile = moments_tile_runner(grid, k, sp0.capacity, sp0.run_cap,
+        one_tile = moments_tile_runner(grid, k, sp0.capacity, sp0.cand_cap,
                                        impl0)
         return jax.lax.map(one_tile, args)
 
@@ -77,7 +77,7 @@ def main():
     def stage_b(grid, all_args):
         outs, dests = [], []
         for (sp, _, impl), args in zip(buckets, all_args):
-            one_tile = moments_tile_runner(grid, k, sp.capacity, sp.run_cap,
+            one_tile = moments_tile_runner(grid, k, sp.capacity, sp.cand_cap,
                                            impl)
             stats, exact, kth, qrow, ok_q = jax.lax.map(one_tile, args)
             flat = lambda a: a.reshape((-1,) + a.shape[3:])

@@ -66,7 +66,7 @@ def main():
     # moments route (same tuning as fast_curvature's moments_route)
     spec_m, mc_m, factor = probe_grid_buckets(
         grid0, capacity_cap=max(256, 4 * K), split_to=128)
-    print(f"moments buckets: {[(sp.capacity, sp.run_cap, sp.max_cells) for sp in spec_m]}"
+    print(f"moments buckets: {[(sp.capacity, sp.cand_cap, sp.max_cells) for sp in spec_m]}"
           f" split_factor={factor}", flush=True)
 
     def run_moments():

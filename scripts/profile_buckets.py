@@ -30,7 +30,7 @@ def main():
     cell0 = estimate_cell_size(cloud.points, cloud.num_points, K)
     spec, mc = probe_grid_buckets(
         build_grid(cloud.points, cloud.num_points, cell0))
-    print("spec:", [(s.hi_key, s.capacity, s.run_cap, s.max_cells)
+    print("spec:", [(s.hi_key, s.capacity, s.cand_cap, s.max_cells)
                     for s in spec], "mc:", mc)
 
     p, npts = cloud.points, cloud.num_points
@@ -45,8 +45,8 @@ def main():
         for sp, (cid_b, start_b, count_b, rs_b, rl_b, lost) in zip(
                 spec, tables):
             tc_b, impl_b = _working_set_guards(
-                sp.capacity, 128, sp.run_cap, default_select_impl())
-            rl_b = jnp.minimum(rl_b, sp.run_cap)
+                sp.capacity, 128, sp.cand_cap, default_select_impl())
+            rl_b = jnp.minimum(rl_b, sp.cand_cap)
             pad = (-sp.max_cells) % tc_b
             ta = (
                 jnp.pad(cid_b, (0, pad), constant_values=PAD_ID
@@ -59,14 +59,14 @@ def main():
                 jnp.zeros((sp.max_cells + pad,), bool).reshape(-1, tc_b),
             )
 
-            def one_tile(args, capacity=sp.capacity, run_cap=sp.run_cap,
+            def one_tile(args, capacity=sp.capacity, cand_cap=sp.cand_cap,
                          impl=impl_b):
                 if not with_select:
                     cell_id, start, count, rs, run_len, _ = args
                     T = cell_id.shape[0]
-                    slot = jnp.arange(run_cap, dtype=jnp.int32)
-                    cand = jnp.minimum(rs[..., None] + slot, n - 1)
-                    cand = cand.reshape(T, 9 * run_cap)
+                    slot = jnp.arange(cand_cap, dtype=jnp.int32)
+                    cand = jnp.minimum(rs[..., :1] + slot[None, None, :], n - 1)
+                    cand = cand.reshape(T, cand_cap)
                     cpts = g.sorted_points[cand]
                     qrow = jnp.minimum(
                         start[:, None] + jnp.arange(capacity,
@@ -75,7 +75,7 @@ def main():
                     return jnp.sum(cpts) + jnp.sum(qpts)
                 # pack=1 matches the headline cellwise_tile_runner path
                 pos, dists, found, _, cpts, qpts, qrow, ok_q, exact = \
-                    _tile_select(g, args, K, capacity, run_cap, impl,
+                    _tile_select(g, args, K, capacity, cand_cap, impl,
                                  pack=1)
                 if with_gather:
                     T = pos.shape[0]

@@ -84,7 +84,7 @@ def main():
             cell_args = jax.tree_util.tree_map(
                 lambda a: a.reshape((-1,) + a.shape[2:]), tile_args)
             cand, ok_cand, cpts, qpts, qrow, ok_q, cover, ro, _ = \
-                _tile_candidates(g, cell_args, sp.capacity, sp.run_cap)
+                _tile_candidates(g, cell_args, sp.capacity, sp.cand_cap)
             acc += (jnp.sum(cpts[0]) + jnp.sum(cpts[1]) + jnp.sum(cpts[2])
                     + jnp.sum(qpts) + jnp.sum(cover))
         return acc
@@ -94,7 +94,7 @@ def main():
         g, buckets = prologue(p, npts)
         acc = jnp.float32(0)
         for sp, tile_args, impl_b in buckets:
-            one = moments_tile_runner(g, K, sp.capacity, sp.run_cap, impl_b,
+            one = moments_tile_runner(g, K, sp.capacity, sp.cand_cap, impl_b,
                                       None)
             cell_args = jax.tree_util.tree_map(
                 lambda a: a.reshape((-1,) + a.shape[2:]), tile_args)

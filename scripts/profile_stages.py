@@ -50,8 +50,8 @@ def main():
     cloud = from_numpy(pts, pad_multiple=1 << 16)
     cell0 = estimate_cell_size(cloud.points, cloud.num_points, K)
     grid0 = build_grid(cloud.points, cloud.num_points, cell0)
-    _, capacity, mc, run_cap = probe_grid(grid0)
-    print(f"capacity={capacity} max_cells={mc} run_cap={run_cap}")
+    _, capacity, mc, cand_cap = probe_grid(grid0)
+    print(f"capacity={capacity} max_cells={mc} cand_cap={cand_cap}")
 
     p, npts = cloud.points, cloud.num_points
 
@@ -78,7 +78,7 @@ def main():
         cell = estimate_cell_size(p, npts, K)
         g = build_grid(p, npts, cell)
         c = compact_cells(g, mc)
-        tile_args, tc, impl = _cellwise_setup(g, c, capacity, 128, run_cap,
+        tile_args, tc, impl = _cellwise_setup(g, c, capacity, 128, cand_cap,
                                               default_select_impl())
         return (jnp.sum(g.sorted_points) + jnp.sum(c.start)
                 + jnp.sum(tile_args[3]) + jnp.sum(tile_args[4]))
@@ -88,7 +88,7 @@ def main():
         cell = estimate_cell_size(p, npts, K)
         g = build_grid(p, npts, cell)
         c = compact_cells(g, mc)
-        r = knn_cellwise(g, c, K, capacity=capacity, run_cap=run_cap,
+        r = knn_cellwise(g, c, K, capacity=capacity, cand_cap=cand_cap,
                          original_ids=False, lean=True)
         return jnp.sum(r.indices) + jnp.sum(r.dists) + jnp.sum(r.exact)
 
@@ -96,7 +96,7 @@ def main():
         cell = estimate_cell_size(p, npts, K)
         g = build_grid(p, npts, cell)
         c = compact_cells(g, mc)
-        tile_args, tc, impl = _cellwise_setup(g, c, capacity, 128, run_cap,
+        tile_args, tc, impl = _cellwise_setup(g, c, capacity, 128, cand_cap,
                                               default_select_impl())
         return g, tile_args, impl
 
@@ -108,9 +108,9 @@ def main():
         def one_tile(args):
             cell_id, start, count, rs, run_len, _ = args
             T = cell_id.shape[0]
-            slot = jnp.arange(run_cap, dtype=jnp.int32)
+            slot = jnp.arange(cand_cap, dtype=jnp.int32)
             cand = jnp.minimum(rs[..., None] + slot, n - 1)
-            cand = cand.reshape(T, 9 * run_cap)
+            cand = cand.reshape(T, 9 * cand_cap)
             cpts = g.sorted_points[cand]
             qrow = jnp.minimum(
                 start[:, None] + jnp.arange(capacity, dtype=jnp.int32), n - 1)
@@ -126,7 +126,7 @@ def main():
 
         def one_tile(args):
             pos, dists, found, cand, _, _, qrow, ok_q, exact = _tile_select(
-                g, args, K, capacity, run_cap, impl)
+                g, args, K, capacity, cand_cap, impl)
             return (jnp.sum(pos), jnp.sum(dists), jnp.sum(exact),
                     jnp.sum(qrow))
 
@@ -137,7 +137,7 @@ def main():
     def s_full(p, npts):
         cell = estimate_cell_size(p, npts, K)
         return fused_curvature(p, npts, cell, k=K, capacity=capacity,
-                               max_cells=mc, run_cap=run_cap).curv.K.sum()
+                               max_cells=mc, cand_cap=cand_cap).curv.K.sum()
 
     stages = [("cell_size", s_cell), ("grid(sort)", s_grid),
               ("compact", s_compact), ("runs(searchsorted)", s_runs),

@@ -109,7 +109,7 @@ def test_knn_cellwise_bucketed_matches_single(lean):
     spec, mcb = probe_grid_buckets(grid)
     assert len(spec) > 1, "fixture must exercise multiple buckets"
     cells_b = compact_cells(grid, mcb)
-    single = knn_cellwise(grid, cells_t, k, capacity=cap, run_cap=rc,
+    single = knn_cellwise(grid, cells_t, k, capacity=cap, cand_cap=rc,
                           lean=lean)
     buck = knn_cellwise_bucketed(grid, cells_b, k, tuple(spec), lean=lean)
     np.testing.assert_array_equal(np.asarray(buck.indices)[:n],
@@ -138,11 +138,11 @@ def test_knn_cellwise_bucketed_matches_single(lean):
 @pytest.mark.parametrize("pack", [16, 32])
 def test_knn_cellwise_bucketed_larger_packs(pack, monkeypatch):
     """Candidate packing at pack > 8 must reproduce pack=8 results
-    bit-exactly. Regression for the group-count formula: the naive
-    run_cap//pack + 1 under-allocates when run_cap is NOT a multiple of
-    pack (probe run_caps are 8-aligned, e.g. 24 or 72), silently
-    truncating run tails — ``_cand_groups`` covers the worst-case run
-    offset."""
+    bit-exactly. Regression for the packed-run layout's alignment
+    slack: ``_cand_m`` must widen M by the worst-case per-run group
+    rounding (9·(2·pack-2)), or runs whose starts fall mid-group
+    silently truncate; and the drop set on overflowing cells must be
+    pack-independent (``_clip_runs`` against the pack-1 budget)."""
     from pct_tpu.neighbors import cellknn
     from pct_tpu.neighbors.cellknn import (
         compact_cells,
@@ -160,8 +160,8 @@ def test_knn_cellwise_bucketed_larger_packs(pack, monkeypatch):
     cell = estimate_cell_size(cloud.points, cloud.num_points, k)
     grid = build_grid(cloud.points, cloud.num_points, cell)
     spec, mcb = probe_grid_buckets(grid)
-    assert any(sp.run_cap % pack for sp in spec), \
-        "fixture must exercise a run_cap that is not a multiple of pack"
+    assert any(sp.cand_cap % pack for sp in spec), \
+        "fixture must exercise a cand_cap that is not a multiple of pack"
     cells_b = compact_cells(grid, mcb)
     base = knn_cellwise_bucketed(grid, cells_b, k, tuple(spec))
     monkeypatch.setattr(cellknn, "_cand_pack",
@@ -267,7 +267,7 @@ def test_optimal_buckets_matches_bruteforce():
             hi_i = int(np.searchsorted(key_s, sp.hi_key, side="right"))
             m = hi_i - lo_i
             size = ((m + unit - 1) // unit) * unit
-            total += float(size) * sp.capacity * (9 * sp.run_cap + 32)
+            total += float(size) * sp.capacity * (sp.cand_cap + 32.0)
             assert sp.max_cells == size
             lo_i = hi_i
         assert lo_i == len(key_s), "spec must cover every cell"
@@ -278,12 +278,12 @@ def test_optimal_buckets_matches_bruteforce():
     for trial in range(12):
         ncells = int(rng.integers(3, 120))
         counts = rng.integers(1, 300, size=ncells)
-        maxrun = np.maximum(counts, rng.integers(1, 600, size=ncells))
-        key = np.maximum(counts, (maxrun + 2) // 3)
+        tot = np.maximum(counts, rng.integers(1, 5000, size=ncells))
+        key = np.maximum(counts, (tot + 26) // 27)
         order = np.argsort(key, kind="stable")
-        key_s, counts_s, maxrun_s = key[order], counts[order], maxrun[order]
+        key_s, counts_s, tot_s = key[order], counts[order], tot[order]
 
-        spec = _optimal_buckets(key_s, counts_s, maxrun_s, cap_cap, mb, unit)
+        spec = _optimal_buckets(key_s, counts_s, tot_s, cap_cap, mb, unit)
         got = spec_cost(key_s, spec, unit)
 
         # exhaustive optimum over the same candidate thresholds
@@ -295,14 +295,14 @@ def test_optimal_buckets_matches_bruteforce():
         for nb in range(1, mb + 1):
             for inner in combinations(cands, nb - 1):
                 idxs = [0] + [splits[c] for c in inner] + [len(key_s)]
-                tot = 0.0
+                cost = 0.0
                 for lo_i, hi_i in zip(idxs[:-1], idxs[1:]):
                     m = hi_i - lo_i
                     if m <= 0:
                         continue
                     cap = min(r8(counts_s[lo_i:hi_i].max()), cap_cap)
-                    rc = r8(maxrun_s[lo_i:hi_i].max())
+                    rc = r8(tot_s[lo_i:hi_i].max())
                     size = ((m + unit - 1) // unit) * unit
-                    tot += float(size) * cap * (9 * rc + 32)
-                best = min(best, tot)
+                    cost += float(size) * cap * (rc + 32.0)
+                best = min(best, cost)
         assert got <= best + 1e-6, (trial, got, best)

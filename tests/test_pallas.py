@@ -121,9 +121,9 @@ def test_apply_cellwise_coords_kernel_matches_ids_kernel():
         return centered
 
     out, exact, kth = apply_cellwise(
-        grid, cells, 10, fn, capacity=cap, run_cap=run_cap,
+        grid, cells, 10, fn, capacity=cap, cand_cap=run_cap,
         select_impl="pallas_interpret", dest_order="sorted")
-    res = knn_cellwise(grid, cells, 10, capacity=cap, run_cap=run_cap,
+    res = knn_cellwise(grid, cells, 10, capacity=cap, cand_cap=run_cap,
                        select_impl="pallas_interpret", original_ids=False)
     sp = np.asarray(grid.sorted_points)
     nv = int(np.asarray(grid.num_valid))
@@ -142,9 +142,9 @@ def test_cellwise_pallas_path_matches_xla():
     cell = estimate_cell_size(cloud.points, cloud.num_points, 12)
     grid = build_grid(cloud.points, cloud.num_points, cell)
     cells, cap, mc, run_cap = probe_grid(grid)
-    r_x = knn_cellwise(grid, cells, 12, capacity=cap, run_cap=run_cap,
+    r_x = knn_cellwise(grid, cells, 12, capacity=cap, cand_cap=run_cap,
                        select_impl="xla")
-    r_p = knn_cellwise(grid, cells, 12, capacity=cap, run_cap=run_cap,
+    r_p = knn_cellwise(grid, cells, 12, capacity=cap, cand_cap=run_cap,
                        select_impl="pallas_interpret")
     n = 3000
     np.testing.assert_allclose(np.asarray(r_p.dists)[:n],
@@ -170,7 +170,7 @@ def test_band_kernel_interpret_matches_xla():
     grid = build_grid(cloud.points, cloud.num_points, cell)
     cells, cap, mc, run_cap = probe_grid(grid)
     blocks = jnp.asarray(build_row_blocks(cells, 8))
-    ref = knn_cellwise(grid, cells, k, capacity=cap, run_cap=run_cap,
+    ref = knn_cellwise(grid, cells, k, capacity=cap, cand_cap=run_cap,
                        select_impl="xla", original_ids=False, lean=True)
     band = knn_cellwise_band(grid, cells, blocks, k, cap, bc=8,
                              interpret=True)

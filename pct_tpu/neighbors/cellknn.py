@@ -769,7 +769,7 @@ def knn_cellwise_bucketed(
 
 
 def moments_tile_runner(grid: GridIndex, k: int, capacity: int, cand_cap: int,
-                        select_impl: str, fn=None, mxu: bool = False):
+                        select_impl: str, fn=None):
     """Large-k tile body: moment accumulation instead of top-k selection.
 
     Same (one_tile) contract as ``cellwise_tile_runner`` but the
@@ -781,9 +781,7 @@ def moments_tile_runner(grid: GridIndex, k: int, capacity: int, cand_cap: int,
     every per-bucket lax.map body made the 1M XLA compile pathological).
     ``fn`` is ignored (the curvature chain is fixed — only the explicit
     method exists in moment form); O(32·M) count passes replace O(k·M)
-    argmin rounds. ``mxu`` rides the 35 weighted sums on the MXU
-    (Pallas path only — the XLA fallback computes the same moments
-    directly).
+    argmin rounds.
     """
     del fn
     from pct_tpu.ops.pallas_moments import knn_moments, xla_moment_stats
@@ -794,8 +792,7 @@ def moments_tile_runner(grid: GridIndex, k: int, capacity: int, cand_cap: int,
         ok_i = ok_cand.astype(jnp.int32)
         if select_impl in ("pallas", "pallas_interpret"):
             stats = knn_moments(qpts, cpts, cand, qrow, ok_i, k,
-                                interpret=select_impl == "pallas_interpret",
-                                mxu=mxu)
+                                interpret=select_impl == "pallas_interpret")
         else:
             stats = xla_moment_stats(qpts, cpts, cand, qrow, ok_i, k)
         sigma = stats[..., 38]
@@ -806,15 +803,8 @@ def moments_tile_runner(grid: GridIndex, k: int, capacity: int, cand_cap: int,
     return one_tile
 
 
-def moments_mxu_tile_runner(grid: GridIndex, k: int, capacity: int,
-                            cand_cap: int, select_impl: str, fn=None):
-    """``moments_tile_runner`` with the MXU weighted-sum pass."""
-    return moments_tile_runner(grid, k, capacity, cand_cap, select_impl, fn,
-                               mxu=True)
-
-
 def _is_moments_runner(runner) -> bool:
-    return runner in (moments_tile_runner, moments_mxu_tile_runner)
+    return runner is moments_tile_runner
 
 
 def cellwise_tile_runner(grid: GridIndex, k: int, capacity: int, cand_cap: int,

@@ -155,6 +155,36 @@ def test_cellwise_pallas_path_matches_xla():
     assert np.asarray(r_p.exact)[:n].all()   # well-behaved torus: all certified
 
 
+def test_moments_runner_interpret_matches_xla():
+    """The TPU moments dispatch (moments_tile_runner -> knn_moments) run
+    in interpret mode must match the XLA-impl runner. Covers the
+    runner->kernel CALL PATH on CPU — the k=100 bench once broke on a
+    stale kwarg in exactly this call while every kernel-level test
+    (which invokes knn_moments directly) stayed green."""
+    from pct_tpu.neighbors.cellknn import apply_cellwise, moments_tile_runner
+
+    k = 48
+    pts, _ = generate_shape("torus", 3000, radius=1.0)
+    cloud = from_numpy(pts)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    grid = build_grid(cloud.points, cloud.num_points, cell)
+    cells, cap, mc, cand_cap = probe_grid(grid)
+    outs = {}
+    for impl in ("pallas_interpret", "xla"):
+        outs[impl] = apply_cellwise(
+            grid, cells, k, None, capacity=cap, cand_cap=cand_cap,
+            select_impl=impl, dest_order="sorted",
+            runner=moments_tile_runner)
+    nv = int(np.asarray(grid.num_valid))
+    (s_p, e_p, k_p), (s_x, e_x, k_x) = outs["pallas_interpret"], outs["xla"]
+    assert np.asarray(e_p)[:nv].mean() > 0.99
+    np.testing.assert_array_equal(np.asarray(e_p)[:nv], np.asarray(e_x)[:nv])
+    np.testing.assert_allclose(np.asarray(s_p)[:nv], np.asarray(s_x)[:nv],
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_p)[:nv], np.asarray(k_x)[:nv],
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_band_kernel_interpret_matches_xla():
     """DMA-band kNN (experimental: TPU-compile blocked on Mosaic DMA
     alignment; semantics locked in by this interpret-mode test)."""

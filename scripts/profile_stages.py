@@ -38,8 +38,8 @@ def main():
 
     from pct_tpu.core import from_numpy
     from pct_tpu.neighbors.cellknn import (
-        _cellwise_setup, _tile_select, compact_cells, knn_cellwise,
-        probe_grid, default_select_impl)
+        _cellwise_setup, _tile_candidates, _tile_select, compact_cells,
+        knn_cellwise, probe_grid, default_select_impl)
     from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
     from pct_tpu.pipeline.fused import fused_curvature
     from pct_tpu.shapes import generate_shape
@@ -102,20 +102,15 @@ def main():
 
     @jax.jit
     def s_gather(p, npts):
+        # the REAL packed-run candidate fetch (pack=1 like the fused
+        # k=20 path), not a synthetic layout
         g, tile_args, impl = _tiles(p, npts)
-        n = g.sorted_points.shape[0]
 
         def one_tile(args):
-            cell_id, start, count, rs, run_len, _ = args
-            T = cell_id.shape[0]
-            slot = jnp.arange(cand_cap, dtype=jnp.int32)
-            cand = jnp.minimum(rs[..., None] + slot, n - 1)
-            cand = cand.reshape(T, 9 * cand_cap)
-            cpts = g.sorted_points[cand]
-            qrow = jnp.minimum(
-                start[:, None] + jnp.arange(capacity, dtype=jnp.int32), n - 1)
-            qpts = g.sorted_points[qrow]
-            return jnp.sum(cpts), jnp.sum(qpts)
+            cand, ok_cand, cpts, qpts, qrow, ok_q, cover, ovf, _ = \
+                _tile_candidates(g, args, capacity, cand_cap, pack=1)
+            return (jnp.sum(cpts[0]) + jnp.sum(cpts[1]) + jnp.sum(cpts[2]),
+                    jnp.sum(qpts))
 
         a, b = jax.lax.map(one_tile, tile_args)
         return jnp.sum(a) + jnp.sum(b)
@@ -126,18 +121,22 @@ def main():
 
         def one_tile(args):
             pos, dists, found, cand, _, _, qrow, ok_q, exact = _tile_select(
-                g, args, K, capacity, cand_cap, impl)
+                g, args, K, capacity, cand_cap, impl, pack=1)
             return (jnp.sum(pos), jnp.sum(dists), jnp.sum(exact),
                     jnp.sum(qrow))
 
         a, b, c2, d = jax.lax.map(one_tile, tile_args)
         return jnp.sum(a) + jnp.sum(b) + jnp.sum(c2) + jnp.sum(d)
 
+    # bucketed statics: what the bench's flagship path actually runs
+    from pct_tpu.neighbors.cellknn import probe_grid_buckets
+    spec_b, mc_b = probe_grid_buckets(grid0)
+
     @jax.jit
     def s_full(p, npts):
         cell = estimate_cell_size(p, npts, K)
-        return fused_curvature(p, npts, cell, k=K, capacity=capacity,
-                               max_cells=mc, cand_cap=cand_cap).curv.K.sum()
+        return fused_curvature(p, npts, cell, k=K, max_cells=mc_b,
+                               bucket_spec=tuple(spec_b)).curv.K.sum()
 
     stages = [("cell_size", s_cell), ("grid(sort)", s_grid),
               ("compact", s_compact), ("runs(searchsorted)", s_runs),

@@ -905,19 +905,28 @@ def apply_cellwise(
     return _scatter_outputs(n, dest, out, exact & (~cells.overflow), kth)
 
 
+_SCATTER_STRATEGY = "slab"  # "slab" | "invert"
+
+
 def _scatter_outputs(n: int, dest, out, exact, kth):
-    """Scatter every per-query output to its (n,) destination in ONE
-    row scatter.
+    """Move every per-query output to its (n,) destination in ONE pass.
 
     The naive per-leaf ``zeros(n, ...).at[dest].set`` costs a full
     scatter pass over ~n rows PER LEAF — 8 passes for the fused
     pipeline (5 curvature fields, (·,3) normals, exact, kth), ~15% of
     the 1M k=20 wall time. All float32 leaves (plus the bool ``exact``,
-    ridden as a 0/1 f32 column) pack into one (rows, D) slab scattered
-    once; columns are sliced back out (fused views, no extra pass).
-    Leaves of other dtypes — none on the hot paths — scatter
-    individually. Dropped/invalid rows (dest == n) zero-fill exactly as
-    the per-leaf scatters did.
+    ridden as a 0/1 f32 column) pack into one (rows, D) slab; columns
+    are sliced back out (fused views, no extra pass). Leaves of other
+    dtypes — none on the hot paths — move individually. Dropped/invalid
+    rows (dest == n) zero-fill exactly as the per-leaf scatters did.
+
+    Two layout strategies (``_SCATTER_STRATEGY``): "slab" scatters the
+    packed slab directly; "invert" scatters only a 1-column row index
+    to invert the permutation, then GATHERS the slab rows in
+    destination order — XLA lowers row scatters ~one serialized HBM
+    pass per column while gathers vectorize, so the wide-slab move is
+    cheaper as a gather (measured on v5e: see
+    scripts/micro_scatter_gather.py). Both zero-fill uncovered rows.
     """
     leaves, treedef = jax.tree_util.tree_flatten(out)
     rows = exact.shape[0]
@@ -931,8 +940,15 @@ def _scatter_outputs(n: int, dest, out, exact, kth):
             spans.append((i, col, a.shape[1:], f.shape[1]))
             col += f.shape[1]
     slab = jnp.concatenate(packed, axis=1) if len(packed) > 1 else packed[0]
-    slab_n = jnp.zeros((n, slab.shape[1]), jnp.float32).at[dest].set(
-        slab, mode="drop")
+    if _SCATTER_STRATEGY == "invert":
+        ridx = jnp.zeros((n,), jnp.int32).at[dest].set(
+            jnp.arange(rows, dtype=jnp.int32) + 1, mode="drop")
+        src = jnp.where(ridx > 0, ridx - 1, rows)  # rows is OOB -> fill
+        slab_n = jnp.take(slab, src, axis=0, mode="fill", fill_value=0.0)
+    else:
+        src = None
+        slab_n = jnp.zeros((n, slab.shape[1]), jnp.float32).at[dest].set(
+            slab, mode="drop")
     exact_n = slab_n[:, 0] > 0.5
     kth_n = slab_n[:, 1]
     new_leaves = list(leaves)
@@ -940,8 +956,12 @@ def _scatter_outputs(n: int, dest, out, exact, kth):
         new_leaves[i] = slab_n[:, s:s + w].reshape((n,) + shp)
     for i, a in enumerate(leaves):
         if a.dtype != jnp.float32:
-            new_leaves[i] = jnp.zeros((n,) + a.shape[1:], a.dtype).at[
-                dest].set(a, mode="drop")
+            if src is not None:
+                new_leaves[i] = jnp.take(a, src, axis=0, mode="fill",
+                                         fill_value=0)
+            else:
+                new_leaves[i] = jnp.zeros((n,) + a.shape[1:], a.dtype).at[
+                    dest].set(a, mode="drop")
     return (jax.tree_util.tree_unflatten(treedef, new_leaves), exact_n,
             kth_n)
 

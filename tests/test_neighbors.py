@@ -306,3 +306,41 @@ def test_optimal_buckets_matches_bruteforce():
                     cost += float(size) * cap * (rc + 32.0)
                 best = min(best, cost)
         assert got <= best + 1e-6, (trial, got, best)
+
+
+def test_scatter_outputs_invert_matches_slab(monkeypatch):
+    """The invert+gather strategy of _scatter_outputs is semantically
+    identical to the packed slab scatter: same zero-fill of uncovered
+    destinations, same column unpacking, same non-f32 leaf handling."""
+    from pct_tpu.neighbors import cellknn
+
+    rng = np.random.default_rng(7)
+    rows, n = 640, 400
+    dest_np = np.full(rows, n, np.int64)
+    slots = rng.choice(rows, size=300, replace=False)
+    dest_np[slots] = rng.choice(n, size=300, replace=False)
+    dest = jnp.asarray(dest_np.astype(np.int32))
+    out = {
+        "a": jnp.asarray(rng.standard_normal((rows, 3)).astype(np.float32)),
+        "b": jnp.asarray(rng.standard_normal(rows).astype(np.float32)),
+        "ids": jnp.asarray(rng.integers(0, 99, rows).astype(np.int32)),
+    }
+    exact = jnp.asarray(rng.random(rows) > 0.5)
+    kth = jnp.asarray(rng.standard_normal(rows).astype(np.float32))
+
+    res = {}
+    for strat in ("slab", "invert"):
+        monkeypatch.setattr(cellknn, "_SCATTER_STRATEGY", strat)
+        res[strat] = cellknn._scatter_outputs(n, dest, out, exact, kth)
+    (o1, e1, k1), (o2, e2, k2) = res["slab"], res["invert"]
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    for key in out:
+        np.testing.assert_array_equal(np.asarray(o1[key]),
+                                      np.asarray(o2[key]))
+    # uncovered destinations zero-fill in both
+    covered = np.zeros(n, bool)
+    covered[dest_np[dest_np < n]] = True
+    assert not np.asarray(e2)[~covered].any()
+    assert np.all(np.asarray(o2["a"])[~covered] == 0)
+    assert np.all(np.asarray(o2["ids"])[~covered] == 0)

@@ -16,9 +16,12 @@ a halo:
   (neighbors/cellknn.py — the flagship single-chip kernel, not the
   slower query-centric path) over its local cells;
 - per-query exactness certification still applies: a kth neighbor that
-  could lie beyond the halo shows up as exact=False (the halo width is
-  chosen from the global kth-distance bound, so this is empty in
-  practice).
+  could lie beyond the halo shows up as exact=False. ``probe_slab_halo``
+  derives the smallest CERTIFIED halo from the sorted cell-id layout
+  (the cell-id expression of the kth-distance bound) in one host sync;
+  ``slab_curvature_unsorted`` uses it by default, and ``slab_curvature``
+  falls back to a max(256, 8k) heuristic when no halo is given (it may
+  be traced, where probing is impossible).
 
 Correctness argument: the halo of ``h`` sorted rows on each side covers
 every cell whose points can be within the kNN radius of a slab query
@@ -56,6 +59,78 @@ class SlabResult(NamedTuple):
     order: jax.Array         # original index per sorted row (for unsorting)
 
 
+def best_axis_order(points, num_points) -> tuple:
+    """Axis permutation putting the largest bbox extent on the SLOWEST
+    linearize axis (last). The sorted order is x-fastest/z-slowest, so a
+    slab boundary inside a slowest-axis layer forces the halo to cover
+    back to the previous layer — thin layers (many cells along the
+    slowest axis) minimize that. One tiny host sync (the (3,) extents).
+    """
+    import numpy as np
+
+    @jax.jit
+    def extents(pts, m):
+        valid = (jnp.arange(pts.shape[0]) < m)[:, None]
+        big = jnp.float32(3.4e38)
+        lo = jnp.min(jnp.where(valid, pts, big), axis=0)
+        hi = jnp.max(jnp.where(valid, pts, -big), axis=0)
+        return hi - lo
+
+    e = np.asarray(extents(points, num_points))
+    return tuple(int(a) for a in np.argsort(e))  # ascending: largest last
+
+
+def probe_slab_halo(grid, n_devices: int, min_halo: int = 64,
+                    multiple: int = 64) -> int:
+    """Certified halo width (sorted rows per side) for ``n_devices`` slabs.
+
+    The per-query certificate in ``slab_curvature`` passes iff the halo
+    reaches past every slab query's 3³ cell window in the sorted-id
+    order: x_left = ids[b-halo-1] must sit strictly below the slab's
+    smallest window id and x_right = ids[b+halo] strictly above the
+    largest. A query's window ids span at most ±W around its own cell
+    id, W = linearize((1,1,1)) — the cell-id expression of the kNN
+    radius bound (the grid guarantees the kth neighbor lies within the
+    27-cell stencil, which the single-chip certificate enforces). This
+    probe reads the sorted ids once (one host sync, like
+    ``probe_grid_buckets``) and returns the smallest halo for which
+    EVERY device boundary satisfies both strict inequalities — so
+    ``exact`` is 1.0 wherever the single-chip path's would be, not just
+    "sound". Raises if a boundary needs a halo ≥ the slab size (too
+    many devices for this cloud's occupancy spread).
+    """
+    import numpy as np
+
+    from pct_tpu.neighbors.grid import _MULT, PAD_ID
+
+    ids = np.asarray(grid.sorted_ids).astype(np.int64)
+    n = ids.shape[0]
+    d = int(n_devices)
+    sl = n // d
+    W = _MULT[2] + _MULT[1] + 1   # unclipped 3^3 window id half-span
+    pad = int(PAD_ID)
+    h = int(min_halo)
+    for s in range(1, d):
+        b = s * sl
+        if ids[b] < pad:
+            # left condition for slab s: ids[b-h-1] < min window id
+            lo = int(np.searchsorted(ids[:b], ids[b] - W, side="left"))
+            h = max(h, b - lo)
+        # right condition for slab s-1: x_right above the last VALID
+        # query's window (padding rows are not queries)
+        j = int(np.searchsorted(ids[:b], pad, side="left")) - 1
+        if j >= (s - 1) * sl:
+            hi = int(np.searchsorted(ids, ids[j] + W, side="right"))
+            h = max(h, hi - b)
+    h = ((h + multiple - 1) // multiple) * multiple
+    if h >= sl:
+        raise ValueError(
+            f"certified halo {h} >= slab size {sl}: the cloud's sorted-id "
+            f"layout cannot be split into {d} certified slabs — use fewer "
+            "devices or the replicated query-sharded layer")
+    return h
+
+
 def slab_curvature(
     mesh: Mesh,
     points: jax.Array,
@@ -70,11 +145,19 @@ def slab_curvature(
     implicit_mode: str = "exact",
     select_impl: str | None = None,
     distributed_sort: bool = False,
+    axis_order: tuple | None = None,
 ) -> SlabResult:
     """Full slab-resident multi-chip step.
 
     ``halo``: sorted rows exchanged per side (default 4·k·expected-row
     width ≈ plenty for rings=1 coverage; certified by ``exact``).
+    ``axis_order``: static axis permutation applied to the point columns
+    before the grid sort (and inverted on the output normals). The sort
+    is slowest in the LAST linearize axis, so putting the largest-extent
+    axis there makes each slowest-axis layer as thin as possible — the
+    certified halo shrinks by ~the aspect ratio on flat-ish clouds
+    (kNN/curvature are axis-permutation invariant; only normals need
+    unpermuting). ``best_axis_order`` computes it; identity when None.
     ``distributed_sort``: build the global cell-sorted order with the
     sample sort (distributed/sort.py — O(n/d) memory and sort work per
     chip, three ICI collectives) instead of one replicated XLA sort;
@@ -93,6 +176,10 @@ def slab_curvature(
         cand_cap = 27 * capacity
     if halo is None:
         halo = max(256, 8 * k)
+    inv_order = None
+    if axis_order is not None and tuple(axis_order) != (0, 1, 2):
+        points = points[:, jnp.array(axis_order)]
+        inv_order = jnp.argsort(jnp.array(axis_order))
     n = points.shape[0]
     d = len(mesh.devices.ravel())
     assert n % d == 0, "capacity must divide the mesh size"
@@ -217,16 +304,32 @@ def slab_curvature(
     )
     curv, normals, exact, kth, rows = shard_fn(sorted_pts, sorted_ids,
                                                grid.order)
+    if inv_order is not None:
+        normals = normals[:, inv_order]
     if sort_ok is not None:
         exact = exact & sort_ok
     return SlabResult(curv, normals, exact, kth, rows)
 
 
 def slab_curvature_unsorted(mesh, cloud, k: int = 20, **kw):
-    """Convenience: original-order outputs (K, H, normals, exact)."""
+    """Convenience: original-order outputs (K, H, normals, exact).
+
+    Eager entry point — when no ``halo`` is passed it picks the
+    halo-minimizing axis order and runs ``probe_slab_halo`` on the
+    permuted grid, so the certificate is guaranteed to pass wherever
+    the single-chip path's would (exact == 1.0 on clean shapes, not
+    merely sound)."""
     from pct_tpu.neighbors.grid import estimate_cell_size
 
     cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    if kw.get("halo") is None:
+        order = kw.get("axis_order")
+        if order is None:
+            order = best_axis_order(cloud.points, cloud.num_points)
+            kw["axis_order"] = order
+        pts_p = cloud.points[:, jnp.array(order)]
+        grid = build_grid(pts_p, cloud.num_points, cell)
+        kw["halo"] = probe_slab_halo(grid, len(mesh.devices.ravel()))
     res = slab_curvature(mesh, cloud.points, cloud.num_points, cell, k=k, **kw)
 
     def unsort(a):

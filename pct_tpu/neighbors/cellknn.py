@@ -843,6 +843,7 @@ def apply_cellwise(
     dest_order: str = "original",
     runner=None,
     post_fn=None,
+    scatter_strategy: str = "invert",
 ):
     """Run ``fn`` over every point's kNN neighborhood INSIDE the cell loop.
 
@@ -900,15 +901,66 @@ def apply_cellwise(
     dest_rows = grid.order[qrow] if dest_order == "original" else qrow
     dest = jnp.where(ok_q, dest_rows, n)
     out = jax.tree_util.tree_map(flat, out)
+    return _move_outputs(n, dest, out, exact & (~cells.overflow), kth,
+                         post_fn, scatter_strategy)
+
+
+def _move_outputs(n, dest, out, exact, kth, post_fn, strategy):
+    """Dispatch the output move: run ``post_fn`` pre-move then scatter
+    ("slab") / invert+gather ("invert"), or invert FIRST and run
+    ``post_fn`` on the (n,) destination-ordered compact rows
+    ("invert_late") — the epilogue then touches ~n rows instead of the
+    padded flat row count (~1.6x fewer at 1M k=100).
+
+    Measured on v5e 1M torus (scripts/micro_scatter_strategy.py,
+    bit-identical outputs): "invert" wins — k=100 moments 426→353 ms,
+    k=20 list 427→342 ms (XLA lowers the packed row scatter ~one
+    serialized HBM pass per column; the 1-column index scatter + row
+    gather vectorizes: 13-col standalone move 158→37 ms,
+    scripts/micro_scatter_gather2.py). "invert_late" is a measured DEAD
+    END (414 ms at k=100): gathering the 45-column raw stats costs more
+    than the flat-row epilogue saves. Default: "invert".
+    """
+    if strategy == "invert_late" and post_fn is not None:
+        return _invert_gather_then(n, dest, out, exact, kth, post_fn)
     if post_fn is not None:
         out = post_fn(out)
-    return _scatter_outputs(n, dest, out, exact & (~cells.overflow), kth)
+    strat = "invert" if strategy == "invert_late" else strategy
+    return _scatter_outputs(n, dest, out, exact, kth, strategy=strat)
 
 
-_SCATTER_STRATEGY = "slab"  # "slab" | "invert"
+def _invert_gather_then(n: int, dest, out, exact, kth, post_fn):
+    """Invert the row permutation, gather the RAW per-query outputs into
+    destination order, then run ``post_fn`` on the (n,) compact rows.
+
+    Row-for-row epilogues commute with the permutation, so this is
+    semantically identical to post_fn-then-move — but the epilogue runs
+    on n rows instead of the padded flat count. Uncovered destinations
+    (dropped/overflow rows and the padding tail) are zeroed AFTER the
+    epilogue, matching the scatter paths' zero-fill exactly (the
+    epilogue's value on a zero stats row never leaks out).
+    """
+    rows = exact.shape[0]
+    ridx = jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(rows, dtype=jnp.int32) + 1, mode="drop")
+    covered = ridx > 0
+    src = jnp.where(covered, ridx - 1, rows)  # rows is OOB -> fill
+
+    def move(a):
+        fill = False if a.dtype == jnp.bool_ else 0
+        return jnp.take(a, src, axis=0, mode="fill", fill_value=fill)
+
+    out_n = post_fn(jax.tree_util.tree_map(move, out))
+
+    def mask(a):
+        c = covered.reshape((n,) + (1,) * (a.ndim - 1))
+        return jnp.where(c, a, jnp.zeros((), a.dtype))
+
+    out_n = jax.tree_util.tree_map(mask, out_n)
+    return out_n, move(exact) & covered, move(kth)
 
 
-def _scatter_outputs(n: int, dest, out, exact, kth):
+def _scatter_outputs(n: int, dest, out, exact, kth, strategy: str = "invert"):
     """Move every per-query output to its (n,) destination in ONE pass.
 
     The naive per-leaf ``zeros(n, ...).at[dest].set`` costs a full
@@ -920,13 +972,13 @@ def _scatter_outputs(n: int, dest, out, exact, kth):
     dtypes — none on the hot paths — move individually. Dropped/invalid
     rows (dest == n) zero-fill exactly as the per-leaf scatters did.
 
-    Two layout strategies (``_SCATTER_STRATEGY``): "slab" scatters the
-    packed slab directly; "invert" scatters only a 1-column row index
-    to invert the permutation, then GATHERS the slab rows in
-    destination order — XLA lowers row scatters ~one serialized HBM
-    pass per column while gathers vectorize, so the wide-slab move is
-    cheaper as a gather (measured on v5e: see
-    scripts/micro_scatter_gather.py). Both zero-fill uncovered rows.
+    Two layout strategies (``strategy``, a trace-time static so jit
+    caches key on it): "slab" scatters the packed slab directly;
+    "invert" scatters only a 1-column row index to invert the
+    permutation, then GATHERS the slab rows in destination order. Both
+    zero-fill uncovered rows. A/B them with
+    scripts/micro_scatter_gather2.py (all data generated on-device) and
+    the real-pipeline harness before flipping any default.
     """
     leaves, treedef = jax.tree_util.tree_flatten(out)
     rows = exact.shape[0]
@@ -940,7 +992,7 @@ def _scatter_outputs(n: int, dest, out, exact, kth):
             spans.append((i, col, a.shape[1:], f.shape[1]))
             col += f.shape[1]
     slab = jnp.concatenate(packed, axis=1) if len(packed) > 1 else packed[0]
-    if _SCATTER_STRATEGY == "invert":
+    if strategy == "invert":
         ridx = jnp.zeros((n,), jnp.int32).at[dest].set(
             jnp.arange(rows, dtype=jnp.int32) + 1, mode="drop")
         src = jnp.where(ridx > 0, ridx - 1, rows)  # rows is OOB -> fill
@@ -1075,6 +1127,7 @@ def apply_cellwise_bucketed(
     dest_order: str = "original",
     runner=None,
     post_fn=None,
+    scatter_strategy: str = "invert",
 ):
     """``apply_cellwise`` over occupancy-bucketed cells: each bucket runs
     the cell loop with its own (capacity, cand_cap) statics, so padding
@@ -1124,9 +1177,8 @@ def apply_cellwise_bucketed(
     exact = jnp.concatenate(exacts)
     kth = jnp.concatenate(kths)
     out = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
-    if post_fn is not None:
-        out = post_fn(out)
-    return _scatter_outputs(n, dest, out, exact & (~cells.overflow), kth)
+    return _move_outputs(n, dest, out, exact & (~cells.overflow), kth,
+                         post_fn, scatter_strategy)
 
 
 def default_max_cells(n: int, k: int, tile_cells: int = 128) -> int:

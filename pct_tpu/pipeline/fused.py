@@ -68,7 +68,8 @@ def _curvature_of_neighborhoods(centered, method, implicit_mode):
 
 @partial(jax.jit, static_argnames=("k", "capacity", "max_cells", "tile_cells",
                                    "cand_cap", "method", "implicit_mode",
-                                   "bucket_spec", "engine", "split"))
+                                   "bucket_spec", "engine", "split",
+                                   "scatter_strategy"))
 def _fused_curvature_jit(
     points: jax.Array,
     num_points: jax.Array,
@@ -83,6 +84,7 @@ def _fused_curvature_jit(
     bucket_spec: tuple | None = None,
     engine: str = "list",
     split: tuple | None = None,
+    scatter_strategy: str = "invert",
 ) -> FusedResult:
     """One XLA program: everything from raw padded points to curvatures.
 
@@ -158,12 +160,13 @@ def _fused_curvature_jit(
     if bucket_spec is not None:
         out, exact, kth = apply_cellwise_bucketed(
             grid, cells, k, fn, bucket_spec, tile_cells=tile_cells,
-            dest_order="original", runner=runner, post_fn=post_fn)
+            dest_order="original", runner=runner, post_fn=post_fn,
+            scatter_strategy=scatter_strategy)
     else:
         out, exact, kth = apply_cellwise(
             grid, cells, k, fn, capacity=capacity, tile_cells=tile_cells,
             cand_cap=cand_cap, dest_order="original", runner=runner,
-            post_fn=post_fn)
+            post_fn=post_fn, scatter_strategy=scatter_strategy)
     if engine == "moments":
         curv, normals = out["curv"], out["normals"]
     else:
@@ -221,6 +224,7 @@ def fused_curvature(
     bucket_spec: tuple | None = None,
     engine: str = "list",
     split: tuple | None = None,
+    scatter_strategy: str = "invert",
 ) -> FusedResult:
     """Public entry for the single-jit fused pipeline.
 
@@ -241,7 +245,8 @@ def fused_curvature(
         points, num_points, cell_size, k=k, capacity=capacity,
         max_cells=max_cells, tile_cells=tile_cells, cand_cap=cand_cap,
         method=method, implicit_mode=implicit_mode,
-        bucket_spec=bucket_spec, engine=engine, split=split)
+        bucket_spec=bucket_spec, engine=engine, split=split,
+        scatter_strategy=scatter_strategy)
 
 
 def fast_curvature(cloud, k: int = 20, method: str = "explicit",

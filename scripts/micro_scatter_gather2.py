@@ -17,13 +17,17 @@ import numpy as np  # noqa: E402
 
 
 def timeit(fn, *args, n=5):
+    # Fence with a DEVICE-side slice: np.asarray(o[:1, :1]) moves 4
+    # bytes. np.asarray(o).reshape(-1)[:1] would ship the whole (n,D)
+    # output (~44-176 MB) over the 0.4s-RTT tunnel every rep and dwarf
+    # the scatter-vs-gather delta being measured.
     o = fn(*args)
-    np.asarray(o).reshape(-1)[:1]
+    np.asarray(o[:1, :1])
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
         o = fn(*args)
-        np.asarray(o).reshape(-1)[:1]
+        np.asarray(o[:1, :1])
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

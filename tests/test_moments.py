@@ -289,3 +289,39 @@ def test_moment_kernel_matches_xla_oracle_sparse_rows():
     assert found[0].any() and not found[1].any() and not found[2].any()
     assert (out[2, :, 35] == 0.0).all()          # empty rows: tau == 0
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("strategy", ["invert", "invert_late"])
+def test_fused_moments_scatter_strategies_match(strategy):
+    """The three output-move strategies (slab scatter / invert+gather /
+    invert-then-epilogue) are semantically identical through the REAL
+    fused moments path: same curvature, normals, exact mask, kth
+    distance — including zero-fill of the padding tail (invert_late
+    must not leak epilogue(0) values into uncovered rows)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from pct_tpu.neighbors.grid import estimate_cell_size
+    from pct_tpu.pipeline.fused import fused_curvature
+
+    k = 72
+    pts, _ = generate_shape("torus", 3000, radius=1.0)
+    cloud = from_numpy(pts, pad_multiple=1024)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    base = fused_curvature(cloud.points, cloud.num_points, cell, k=k,
+                           engine="moments", scatter_strategy="slab")
+    alt = fused_curvature(cloud.points, cloud.num_points, cell, k=k,
+                          engine="moments", scatter_strategy=strategy)
+    np.testing.assert_array_equal(np.asarray(base.exact),
+                                  np.asarray(alt.exact))
+    np.testing.assert_array_equal(np.asarray(base.kth_dist),
+                                  np.asarray(alt.kth_dist))
+    for fld in ("K", "H", "k1", "k2", "H_sq"):
+        np.testing.assert_array_equal(np.asarray(getattr(base.curv, fld)),
+                                      np.asarray(getattr(alt.curv, fld)))
+    np.testing.assert_array_equal(np.asarray(base.normals),
+                                  np.asarray(alt.normals))
+    # padding tail stays zero under every strategy
+    n = int(cloud.num_points)
+    assert np.all(np.asarray(alt.curv.K)[n:] == 0)
+    assert np.all(np.asarray(alt.normals)[n:] == 0)
+    assert not np.asarray(alt.exact)[n:].any()

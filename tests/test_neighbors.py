@@ -308,7 +308,7 @@ def test_optimal_buckets_matches_bruteforce():
         assert got <= best + 1e-6, (trial, got, best)
 
 
-def test_scatter_outputs_invert_matches_slab(monkeypatch):
+def test_scatter_outputs_invert_matches_slab():
     """The invert+gather strategy of _scatter_outputs is semantically
     identical to the packed slab scatter: same zero-fill of uncovered
     destinations, same column unpacking, same non-f32 leaf handling."""
@@ -330,8 +330,8 @@ def test_scatter_outputs_invert_matches_slab(monkeypatch):
 
     res = {}
     for strat in ("slab", "invert"):
-        monkeypatch.setattr(cellknn, "_SCATTER_STRATEGY", strat)
-        res[strat] = cellknn._scatter_outputs(n, dest, out, exact, kth)
+        res[strat] = cellknn._scatter_outputs(n, dest, out, exact, kth,
+                                              strategy=strat)
     (o1, e1, k1), (o2, e2, k2) = res["slab"], res["invert"]
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))

@@ -66,3 +66,46 @@ def test_slab_certified_rows_match_single_chip_exactly():
     K_sl = np.asarray(curv.K)[:4096][e]
     K_1 = np.asarray(single.curv.K)[:4096][e]
     assert np.isclose(K_sl, K_1, rtol=1e-5, atol=1e-7).all()
+
+
+def test_probed_halo_fully_certifies_at_scale():
+    """VERDICT r3 item 4: the auto-probed halo (probe_slab_halo, derived
+    from the sorted cell-id layout) must FULLY certify a real-size cloud
+    on 8 devices — exact.mean() == 1.0, matching the single-chip
+    certificate, not merely "sound"."""
+    import jax.numpy as jnp
+
+    from pct_tpu.distributed.slab import best_axis_order, probe_slab_halo
+    from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+    from pct_tpu.pipeline.fused import fused_curvature
+
+    n = 65_536
+    pts, _ = generate_shape("torus", n, radius=1.0)
+    cloud = from_numpy(pts, pad_multiple=n)
+    mesh = make_mesh(8)
+    k = 12
+    curv, normals, exact = slab_curvature_unsorted(mesh, cloud, k=k)
+    e = np.asarray(exact)[:n]
+    assert e.mean() == 1.0
+    # single-chip oracle on the SAME permuted inputs (K is invariant
+    # under the axis permutation; running single-chip permuted makes the
+    # comparison same-arithmetic): every certified row agrees tightly
+    order = best_axis_order(cloud.points, cloud.num_points)
+    pts_p = cloud.points[:, jnp.array(order)]
+    # same cell size the slab wrapper used (estimated on UNPERMUTED
+    # points — estimate_cell_size is not fp-permutation-invariant)
+    cell = estimate_cell_size(cloud.points, cloud.num_points, k)
+    single = fused_curvature(pts_p, cloud.num_points, cell, k=k)
+    assert np.asarray(single.exact)[:n].mean() == 1.0
+    K_sl = np.asarray(curv.K)[:n]
+    K_1 = np.asarray(single.curv.K)[:n]
+    assert np.isclose(K_sl, K_1, rtol=1e-5, atol=1e-7).all()
+    # analytic accuracy holds through the slab path
+    Ka, _ = analytic_curvatures("torus", pts)
+    strong = np.abs(Ka) > 0.5
+    rel = np.abs(K_sl[strong] - Ka[strong]) / np.abs(Ka[strong])
+    assert np.median(rel) < 0.06
+    # and the probe is not trivially the whole slab
+    grid = build_grid(pts_p, cloud.num_points, cell)
+    h = probe_slab_halo(grid, 8)
+    assert h < (cloud.points.shape[0] // 8) // 2

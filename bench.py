@@ -232,6 +232,39 @@ def main():
 
     guarded("library_knn", bench_library_knn)
 
+    # --- secondary: implicit-quadric path at 1M (the reference's
+    # secondary API, ref pointCloudToolbox.py:617-689 — SLSQP there,
+    # closed-form 10x10 Gram smallest-eigenvector here) ---
+    def bench_implicit():
+        def run_imp():
+            cell = estimate_cell_size(cloud.points, cloud.num_points,
+                                      K_NEIGHBORS)
+            return fused_curvature(cloud.points, cloud.num_points, cell,
+                                   k=K_NEIGHBORS, max_cells=mc,
+                                   bucket_spec=spec, method="implicit",
+                                   implicit_mode="exact")
+
+        r = run_imp()
+        sync(r.curv.K)
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = run_imp()
+            sync(r.curv.K)
+            ts.append(time.perf_counter() - t0)
+        out["seconds_per_1M_implicit"] = round(min(ts), 4)
+        Ki = np.asarray(r.curv.K)[:N]
+        Hi = np.asarray(r.curv.H)[:N]
+        relKi = np.abs(Ki - Ka) / scale
+        relHi = np.abs(np.abs(Hi) - np.abs(Ha)) / np.abs(Ha)
+        out["implicit_median_scalerel_err_K_vs_analytic"] = float(
+            np.median(relKi))
+        out["implicit_median_rel_err_absH_vs_analytic"] = float(
+            np.median(relHi))
+        out["implicit_nan_fraction"] = float(np.isnan(Ki).mean())
+
+    guarded("implicit_1M", bench_implicit)
+
     print(json.dumps(out))
 
 

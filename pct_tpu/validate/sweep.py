@@ -35,7 +35,15 @@ CSV_FIELDS = [
     "bending_energy", "theoretical_bending", "bending_error_pct",
     "stretching_energy", "theoretical_stretching", "stretching_error_pct",
     "nan_fraction", "density", "runtime_s", "status",
+    # per-stage wall seconds (VERDICT r3: attribute the wall like the
+    # reference's committed profile_stats does). curvature/energies run
+    # on device; normals partially; bpa/holes/smooth are host C++/python
+    "t_study", "t_normals", "t_bpa", "t_holes_small", "t_smooth",
+    "t_holes_large", "t_curvature", "t_energies",
 ]
+
+STAGE_KEYS = ("study", "normals", "bpa", "holes_small", "smooth",
+              "holes_large", "curvature", "energies")
 
 
 def _append_row(path: str, row: dict):
@@ -126,6 +134,7 @@ def _run_one(shape, variant, num_points, radius, strength, k_neighbors,
             "nan_fraction": res.nan_fraction,
             "density": density, "runtime_s": time.time() - t0,
             "status": status,
+            **{f"t_{s}": res.stage_timings.get(s) for s in STAGE_KEYS},
         }
     except Exception as e:  # ref :111-117 crash-and-continue
         log.exception("sweep row failed: %s %s N=%d r=%s",
@@ -138,7 +147,8 @@ def _run_one(shape, variant, num_points, radius, strength, k_neighbors,
                 "stretching_energy": np.nan, "theoretical_stretching": np.nan,
                 "stretching_error_pct": None, "nan_fraction": np.nan,
                 "density": np.nan, "runtime_s": time.time() - t0,
-                "status": f"Error: {e}"}
+                "status": f"Error: {e}",
+                **{f"t_{s}": None for s in STAGE_KEYS}}
 
 
 def main(argv=None):

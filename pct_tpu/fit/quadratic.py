@@ -19,15 +19,17 @@ import jax.numpy as jnp
 _RIDGE = 1e-7
 
 
-def cholesky_solve6(G: jax.Array, rhs: jax.Array) -> jax.Array:
-    """Batched symmetric-positive-definite 6×6 solve, fully unrolled.
+def cholesky_solve(G: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Batched symmetric-positive-definite n×n solve, fully unrolled
+    (n static from the trailing shape; used at 6 for the quadratic fit
+    and 10 for the implicit-quadric inverse iteration).
 
     XLA's batched ``linalg.solve`` lowers to a pivoted LU whose inner
     control flow dominates the curvature pass on TPU (~1.7 s/1M points);
     an unrolled Cholesky is pure element-wise VPU math across the batch.
-    G must be SPD (the ridge in fit_quadratic guarantees it).
+    G must be SPD (callers add a relative ridge to guarantee it).
     """
-    n = 6
+    n = G.shape[-1]
     L = [[None] * n for _ in range(n)]
     invd = [None] * n
     for j in range(n):
@@ -60,6 +62,9 @@ def cholesky_solve6(G: jax.Array, rhs: jax.Array) -> jax.Array:
             s = s - L[t][i] * x[t]
         x[i] = s * invd[i]
     return jnp.stack(x, axis=-1)
+
+
+cholesky_solve6 = cholesky_solve   # back-compat alias
 
 
 def quadratic_design(ab: jax.Array) -> jax.Array:
@@ -105,7 +110,7 @@ def fit_quadratic(rotated: jax.Array, mask: jax.Array | None = None):
     G = jnp.stack([jnp.stack(Gq[i], axis=-1) for i in range(6)], axis=-2)
     trace = jnp.trace(G, axis1=-2, axis2=-1)
     G = G + (_RIDGE * trace[..., None, None] / 6.0) * jnp.eye(6, dtype=G.dtype)
-    c = cholesky_solve6(G, rhs)
+    c = cholesky_solve(G, rhs)
     # unscale: z = Ã(a/sa)² + ... ⇒ A = Ã/sa², B = B̃/sb², C = C̃/(sa·sb),
     # D = D̃/sa, E = Ẽ/sb, F = F̃
     scale_back = jnp.concatenate([

@@ -104,10 +104,82 @@ _HIER_THRESHOLD = 32768
 _COARSE_TARGET = 16384
 
 
+def _invert_order(order):
+    return jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _probe_grid(points, num_points, k: int):
+    from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+
+    return build_grid(points, num_points,
+                      estimate_cell_size(points, num_points, k))
+
+
+@partial(jax.jit, static_argnames=("k", "kc", "stride", "sweeps_coarse",
+                                   "sweeps_fine", "hierarchical", "spec",
+                                   "max_cells"))
+def _normals_device(points, num_points, cell_size, k: int, kc: int,
+                    stride: int, sweeps_coarse: int, sweeps_fine: int,
+                    hierarchical: bool, spec: tuple, max_cells: int):
+    """The ENTIRE estimate+orient pass as one XLA program.
+
+    The previous implementation staged knn_cloud_grid (host probe +
+    exactness-repair sync) and the hierarchical coarse pass through
+    ~15 eager ops — each a 0.4 s round-trip over the TPU tunnel, ~10 s
+    of pure latency per mesh-pipeline call at 200k (measured, sweep
+    t_normals column). Here everything runs device-side; the caller
+    supplies probe-tuned bucket statics (``spec``/``max_cells`` — an
+    UNPROBED 27·capacity cand_cap at k=50 is exactly the hostile
+    single-bucket Mosaic static CLAUDE.md warns about, observed >17 min
+    compile). The kNN skips the exactness repair — sign voting and
+    covariance normals are robust to a rare truncated neighbor list,
+    so the certificate machinery buys nothing on this path.
+    """
+    from pct_tpu.neighbors.cellknn import (
+        compact_cells,
+        knn_all_points,
+        knn_cellwise_bucketed,
+    )
+    from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+
+    grid = build_grid(points, num_points, cell_size)
+    cells = compact_cells(grid, max_cells)
+    res = knn_cellwise_bucketed(grid, cells, k, spec)
+    idx = res.indices[_invert_order(grid.order)]   # original-order rows
+    raw = estimate_raw_normals(points, idx)
+    if not hierarchical:
+        return orient_normals(points, raw, idx, num_points,
+                              sweeps=sweeps_fine)
+
+    ncap = points.shape[0]
+    n_sel = (ncap + stride - 1) // stride
+    sel = jnp.arange(n_sel, dtype=jnp.int32) * stride
+    valid_c = sel < num_points                     # prefix mask (sel asc)
+    cpts = jnp.where(valid_c[:, None], points[sel], 0.0)
+    m_c = jnp.sum(valid_c.astype(jnp.int32))
+    cell_c = estimate_cell_size(cpts, m_c, kc)
+    grid_c = build_grid(cpts, m_c, cell_c)
+    # coarse cloud (~16k, kc<=16): fixed capacity statics stay in the
+    # Mosaic-safe class (C=56, M~1.5k)
+    res_c = knn_all_points(grid_c, kc)
+    idx_c = res_c.indices[_invert_order(grid_c.order)]
+    raw_c = raw[sel]
+    oriented_c = orient_normals(cpts, raw_c, idx_c, m_c,
+                                sweeps=sweeps_coarse)
+    csign = jnp.where(jnp.sum(oriented_c * raw_c, axis=-1) < 0.0, -1.0, 1.0)
+    seed_mask = jnp.zeros((ncap,), bool).at[sel].set(valid_c)
+    seed_signs = jnp.ones((ncap,), points.dtype).at[sel].set(csign)
+    return orient_normals(points, raw, idx, num_points, sweeps=sweeps_fine,
+                          seed_mask=seed_mask, seed_signs=seed_signs)
+
+
 def estimate_and_orient_normals(cloud, k: int = 50, sweeps: int = 40):
     """Full replacement for the reference's estimate+orient pass
     (ref utils.py:74-80): grid kNN (k=50 default, as the reference's
-    orient step) -> covariance normals -> voting orientation.
+    orient step) -> covariance normals -> voting orientation. One
+    device call (``_normals_device``), zero host round-trips.
 
     Large clouds orient HIERARCHICALLY: a strided ~16k-point coarse
     subset (small graph diameter) runs the extremal-seed wavefront to
@@ -115,36 +187,29 @@ def estimate_and_orient_normals(cloud, k: int = 50, sweeps: int = 40):
     points at once — each frontier only has to cross the coarse spacing
     (~sqrt(stride) hops), not the whole surface. Measured on the random
     torus: 300k went from 60% consistent signs (40 single-seed sweeps)
-    to 100%.
+    to 100%. Statics derive from the padded capacity so no device sync
+    is needed to choose the route.
     """
     import numpy as np
 
-    from pct_tpu.core.cloud import from_numpy
-    from pct_tpu.neighbors.knn import knn_cloud_grid
+    from pct_tpu.neighbors.cellknn import probe_grid_buckets
 
-    res, _ = knn_cloud_grid(cloud, k)
-    raw = estimate_raw_normals(cloud.points, res.indices)
-    n = int(cloud.num_points)
-    if n <= _HIER_THRESHOLD:
-        return orient_normals(cloud.points, raw, res.indices,
-                              cloud.num_points, sweeps=sweeps)
-
-    stride = max(2, -(-n // _COARSE_TARGET))
-    sel = np.arange(0, n, stride, dtype=np.int32)
-    coarse_raw = raw[sel]
-    ccloud = from_numpy(np.asarray(cloud.points[sel]))
-    kc = min(16, len(sel) - 1)
-    cres, _ = knn_cloud_grid(ccloud, kc)
-    pad_c = ccloud.points.shape[0] - len(sel)
-    craw = jnp.pad(coarse_raw, ((0, pad_c), (0, 0)))
-    oriented_c = orient_normals(ccloud.points, craw, cres.indices,
-                                ccloud.num_points, sweeps=512)[:len(sel)]
-    csign = jnp.where(jnp.sum(oriented_c * coarse_raw, axis=-1) < 0.0,
-                      -1.0, 1.0)
-    seed_mask = jnp.zeros((cloud.points.shape[0],), bool).at[sel].set(True)
-    seed_signs = jnp.ones((cloud.points.shape[0],),
-                          cloud.points.dtype).at[sel].set(csign)
-    fine_sweeps = max(sweeps, 4 * int(np.ceil(np.sqrt(stride))))
-    return orient_normals(cloud.points, raw, res.indices, cloud.num_points,
-                          sweeps=fine_sweeps, seed_mask=seed_mask,
-                          seed_signs=seed_signs)
+    ncap = cloud.points.shape[0]
+    k = min(k, max(4, ncap - 1))
+    hier = ncap > _HIER_THRESHOLD
+    stride = max(2, -(-ncap // _COARSE_TARGET)) if hier else 1
+    n_sel = (ncap + stride - 1) // stride if hier else ncap
+    kc = min(16, max(4, n_sel - 1))
+    fine = (max(sweeps, 4 * int(np.ceil(np.sqrt(stride))))
+            if hier else sweeps)
+    # one host probe (same pattern as fast_curvature): bucketed statics
+    # keep the k=50 select kernel in the Mosaic-safe compile class. The
+    # grid build is ONE jit call — eagerly it is ~20 ops x 0.4 s tunnel
+    # RTT (measured 10.7 s warm at bunny scale before this)
+    grid = _probe_grid(cloud.points, cloud.num_points, k)
+    spec, mc = probe_grid_buckets(grid, capacity_cap=max(256, 4 * k))
+    return _normals_device(cloud.points, cloud.num_points, grid.cell_size,
+                           k=k, kc=kc,
+                           stride=stride, sweeps_coarse=512,
+                           sweeps_fine=fine, hierarchical=hier,
+                           spec=spec, max_cells=mc)

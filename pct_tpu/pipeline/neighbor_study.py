@@ -110,6 +110,10 @@ def explicit_quadratic_neighbor_study(
         cloud.points, sample_idx, res.indices, kmin, kmax, tol,
         scale_sq=scale_sq, tol_rel=tol_rel,
     )
-    denom = jnp.maximum(jnp.sum(conv_mask), 1)
-    mean_k = jnp.sum(jnp.where(conv_mask, conv_k, 0)) / denom
+    # reference parity (ref :790-791 ``if best is None: best = upper``):
+    # samples that never converge contribute the UPPER bound, pushing
+    # the mean HIGH — noisy/perturbed clouds then proceed at large k
+    # instead of aborting with a bogus tiny converged_k
+    conv_k_full = jnp.where(conv_mask, conv_k, kmax)
+    mean_k = jnp.mean(conv_k_full.astype(jnp.float32))
     return mean_k.astype(jnp.int32) + 1, jnp.where(conv_mask, conv_k, -1)

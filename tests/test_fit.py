@@ -158,3 +158,23 @@ def test_tangent_frames_shapes(rng):
     RtR = np.einsum("nji,njk->nik", np.asarray(R), np.asarray(R))
     np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (6, 3, 3)),
                                atol=1e-5)
+
+
+def test_quadric_inverse_iteration_matches_eigh(rng):
+    """The shifted-inverse-iteration smallest eigenvector (default
+    solver) recovers the same quadric as the full eigh on both exact
+    and noisy neighborhoods — curvature consumers see the same
+    coefficients up to the canonical sign."""
+    from pct_tpu.fit.quadric import fit_quadric as fq
+
+    pts = rng.standard_normal((512, 24, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)  # unit sphere caps
+    for noisy in (0.0, 1e-3):
+        p = (pts + noisy * rng.standard_normal(pts.shape)).astype(np.float32)
+        c_inv = np.asarray(fq(jnp.asarray(p), solver="inverse"))
+        c_eig = np.asarray(fq(jnp.asarray(p), solver="eigh"))
+        # align eigh's arbitrary sign to the inverse solution
+        s = np.sign(np.sum(c_inv * c_eig, axis=-1, keepdims=True))
+        err = np.linalg.norm(c_inv - s * c_eig, axis=-1)
+        assert np.median(err) < 1e-4
+        assert np.quantile(err, 0.99) < 5e-3

@@ -90,6 +90,22 @@ def test_neighbor_study_sphere():
     assert (per[per > 0] >= 3).all()
 
 
+def test_neighbor_study_nonconverged_push_mean_high():
+    """Reference parity (ref pointCloudToolbox.py:790-791): samples that
+    never converge contribute the UPPER bound to the mean, so a noisy
+    cloud recommends a LARGE k instead of aborting with converged_k=1
+    (caught live: every Perturbed sweep row aborted before the fix)."""
+    rng = np.random.default_rng(5)
+    pts, _ = generate_shape("sphere", 4000, radius=1.0)
+    noisy = pts + 0.02 * rng.standard_normal(pts.shape).astype(np.float32)
+    cloud = from_numpy(noisy)
+    k_rec, per_sample = explicit_quadratic_neighbor_study(
+        cloud, tol=1e-9, sample_size=64, kmax=40)
+    per = np.asarray(per_sample)
+    assert (per < 0).any()          # some samples genuinely non-converged
+    assert int(k_rec) >= 10         # the protocol proceeds at large k
+
+
 def test_fused_cellwise_matches_staged_pipeline():
     """The single-jit fused path (curvature evaluated inside the cell
     loop, apply_cellwise) must agree with the staged pipeline on

@@ -27,6 +27,19 @@ compile is genuinely cold):
 If A >> B + A' the priming workaround is justified; record the numbers
 in CLAUDE.md and keep priming. Run on the real TPU with a clean compile
 queue; budget 45+ min and NEVER kill mid-compile.
+
+MEASURED (v5e, round 4, clean queue): this SIMPLE kernel does NOT
+reproduce the pathology — prog-first A=2.1 s vs C=1.7 s (0.5 s
+cold-in-program delta), kernel-first B=1.7 s + A'=2.2 s. Negative
+result, on purpose kept: it bounds the pathology to the REAL kernels'
+complexity class (the moment kernel's unrolled bisection rounds +
+multi-bucket statics; the select kernel's k unrolled argmin rounds),
+not to Pallas-in-big-XLA per se. The live round-4 evidence for the
+heavy class: an unprobed (64,144,50)/M=4016 select compiled for 34 min
+inside XLA then died with a scoped-VMEM OOM, and the k=100 moment
+kernels cold-in-program never finished >50 min (4x, round 2) while
+priming makes the same program compile in ~30 s. Priming stays
+(pipeline/fused.py:_prime_moment_kernels), with this bound recorded.
 """
 
 import os

@@ -99,11 +99,23 @@ def create_mesh_with_curvature(
         faces = cleanup_mesh(faces.astype(np.int32))
         lap("holes_small")
 
+    def bucketed_faces(f):
+        # pow2-bucketed static face count: every mesh of a size class
+        # shares ONE compiled taubin/energies program. Without this each
+        # row's unique face count forced a fresh ~2-min XLA compile
+        # (measured 145 s t_energies on rows whose warm cost is 2.2 s).
+        t = f.shape[0]
+        cap = max(128, 1 << (t - 1).bit_length())
+        fp = np.zeros((cap, 3), np.int32)
+        fp[:t] = f
+        return jnp.asarray(fp), jnp.asarray(np.arange(cap) < t)
+
     verts = points
     if smooth_iterations > 0 and faces.size:
-        verts = np.asarray(taubin_smooth(jnp.asarray(points),
-                                         jnp.asarray(faces),
-                                         iterations=smooth_iterations))
+        fpad, fmask = bucketed_faces(faces)
+        verts = np.asarray(taubin_smooth(jnp.asarray(points), fpad,
+                                         iterations=smooth_iterations,
+                                         face_mask=fmask))
         lap("smooth")
 
     if fill_holes and faces.size:
@@ -130,10 +142,13 @@ def create_mesh_with_curvature(
     H = np.asarray(r.curv.H)[:n]
     lap("curvature")
 
-    e = mesh_energies(jnp.asarray(verts), jnp.asarray(faces),
-                      jnp.asarray(K), jnp.asarray(H)) if faces.size else \
-        MeshEnergies(jnp.float32(np.nan), jnp.float32(np.nan),
-                     jnp.float32(0.0))
+    if faces.size:
+        fpad, fmask = bucketed_faces(faces)
+        e = mesh_energies(jnp.asarray(verts), fpad, jnp.asarray(K),
+                          jnp.asarray(H), face_mask=fmask)
+    else:
+        e = MeshEnergies(jnp.float32(np.nan), jnp.float32(np.nan),
+                         jnp.float32(0.0))
     energies = MeshEnergies(*(float(x) for x in e))
     lap("energies")
 

@@ -314,3 +314,47 @@ def test_bpa_degenerate_inputs_terminate():
     assert faces.min() >= 0 and faces.max() < len(cloud)
     # the sphere part still reconstructs substantially
     assert (faces < len(pts)).all(axis=1).sum() > 0.8 * len(pts)
+
+
+def test_face_padding_mask_is_identity(rng):
+    """Pow2-bucketed face padding (mesh_pipeline.bucketed_faces) with
+    face_mask must be bit-identical to the unpadded call for BOTH the
+    energy integrals and Taubin smoothing — padding faces contribute
+    exactly nothing."""
+    import jax.numpy as jnp
+
+    from pct_tpu.mesh.energies import mesh_energies
+    from pct_tpu.mesh.smooth import taubin_smooth
+
+    v = rng.standard_normal((60, 3)).astype(np.float32)
+    f = rng.integers(0, 59, (37, 3)).astype(np.int32)
+    K = rng.standard_normal(60).astype(np.float32)
+    H = rng.standard_normal(60).astype(np.float32)
+    cap = 64
+    fp = np.zeros((cap, 3), np.int32)
+    fp[:37] = f
+    fm = jnp.asarray(np.arange(cap) < 37)
+    e0 = mesh_energies(jnp.asarray(v), jnp.asarray(f), jnp.asarray(K),
+                       jnp.asarray(H))
+    e1 = mesh_energies(jnp.asarray(v), jnp.asarray(fp), jnp.asarray(K),
+                       jnp.asarray(H), face_mask=fm)
+    for a, b in zip(e0, e1):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+    s0 = taubin_smooth(jnp.asarray(v), jnp.asarray(f), iterations=5)
+    s1 = taubin_smooth(jnp.asarray(v), jnp.asarray(fp), iterations=5,
+                       face_mask=fm)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_taubin_orphan_vertices_stay_put(rng):
+    """Vertices referenced by no face must not move (Open3D semantics —
+    previously they collapsed toward the origin)."""
+    import jax.numpy as jnp
+
+    from pct_tpu.mesh.smooth import taubin_smooth
+
+    v = rng.standard_normal((10, 3)).astype(np.float32)
+    f = np.array([[0, 1, 2], [1, 2, 3]], np.int32)   # vertices 4..9 orphan
+    s = np.asarray(taubin_smooth(jnp.asarray(v), jnp.asarray(f),
+                                 iterations=10))
+    np.testing.assert_array_equal(s[4:], v[4:])

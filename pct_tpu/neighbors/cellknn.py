@@ -1329,7 +1329,8 @@ def _optimal_buckets(key_s, counts_s, tot_s, capacity_cap: int,
 def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
                        capacity_cap: int = 256, max_buckets: int = 6,
                        size_unit: int | None = None,
-                       split_to: int | None = None):
+                       split_to: int | None = None,
+                       coarse: bool = False):
     """Host-side bucket tuning: one compaction + runs probe + one sync.
 
     Partitions occupied cells by size class key = max(count,
@@ -1373,7 +1374,22 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
     unit = size_unit if size_unit is not None else 4 * tile_cells
 
     spec = (BucketSpec(hi_key=8, capacity=8, cand_cap=216, max_cells=unit),)
-    if num_cells:
+    if coarse and num_cells:
+        # ONE coarsely-rounded bucket: capacity to 16, cand_cap to 512,
+        # member table to pow2 — the statics collide across clouds of a
+        # family, so a compiled program is REUSED instead of re-tuned
+        # (the DP thresholds below are data-dependent: every cloud got
+        # its own spec and its own ~50 s fused-program compile, measured
+        # in the mesh pipeline's per-row t_curvature). Padding waste of
+        # the single bucket (~3x VPU on spread clouds) is the price —
+        # right for once-per-mesh vertex fits, wrong for the headline.
+        cap = min(int(_round_up(max(int(counts.max()), 8), 16)),
+                  capacity_cap)
+        cand = int(_round_up(max(int(tot.max()), 216), 512))
+        mc_b = 1 << (max(int(num_cells), unit) - 1).bit_length()
+        spec = (BucketSpec(hi_key=1 << 30, capacity=cap, cand_cap=cand,
+                           max_cells=mc_b),)
+    elif num_cells:
         order = np.argsort(key, kind="stable")
         spec = _optimal_buckets(key[order], counts[order], tot[order],
                                 capacity_cap, max_buckets, unit)

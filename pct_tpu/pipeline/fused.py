@@ -250,7 +250,8 @@ def fused_curvature(
 
 
 def fast_curvature(cloud, k: int = 20, method: str = "explicit",
-                   implicit_mode: str = "exact") -> FusedResult:
+                   implicit_mode: str = "exact",
+                   coarse_spec: bool = False) -> FusedResult:
     """Probe-tuned fused curvature on a PointCloud: the fastest path.
 
     Convenience wrapper over ``fused_curvature``: estimates the grid
@@ -293,7 +294,13 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
         # paying (runtime AND compile time) — always take the moments
         # engine, not just when the select working set overflows
         return moments_route()
-    spec, mc = probe_grid_buckets(grid, capacity_cap=max(256, 4 * k))
+    # coarse_spec: single coarsely-rounded bucket whose statics collide
+    # across clouds of a family — compiled-program REUSE instead of a
+    # per-cloud ~50 s re-tune compile. Right for once-per-mesh vertex
+    # fits (mesh_pipeline); the tight DP spec stays the default for the
+    # headline paths.
+    spec, mc = probe_grid_buckets(grid, capacity_cap=max(256, 4 * k),
+                                  coarse=coarse_spec)
     # select path runs unpacked (cellwise_tile_runner pins pack=1)
     select_ok = all(sp.capacity * sp.cand_cap * 4 * 3 <= 10 << 20
                     for sp in spec)

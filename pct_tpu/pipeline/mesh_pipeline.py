@@ -137,7 +137,7 @@ def create_mesh_with_curvature(
     # through the moments engine — the scans-class k=100 protocol runs
     # the fast path, not the staged pipeline.
     vcloud = from_numpy(verts)
-    r = fast_curvature(vcloud, k=k_neighbors)
+    r = fast_curvature(vcloud, k=k_neighbors, coarse_spec=True)
     K = np.asarray(r.curv.K)[:n]
     H = np.asarray(r.curv.H)[:n]
     lap("curvature")

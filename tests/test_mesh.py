@@ -358,3 +358,27 @@ def test_taubin_orphan_vertices_stay_put(rng):
     s = np.asarray(taubin_smooth(jnp.asarray(v), jnp.asarray(f),
                                  iterations=10))
     np.testing.assert_array_equal(s[4:], v[4:])
+
+
+def test_coarse_spec_collides_across_clouds():
+    """probe_grid_buckets(coarse=True) must return IDENTICAL statics for
+    two clouds of the same family (different random seeds, ±face-count
+    scale jitter) so the compiled fused program is reused — the tight DP
+    spec is data-dependent and recompiles per cloud (~50 s/row in the
+    mesh pipeline, measured)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from pct_tpu.core import from_numpy
+    from pct_tpu.neighbors.cellknn import probe_grid_buckets
+    from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+    from pct_tpu.shapes import generate_shape
+
+    specs = []
+    for seed in (0, 1):
+        pts, _ = generate_shape("torus", 20_000, radius=1.0, seed=seed)
+        cloud = from_numpy(pts)
+        cell = estimate_cell_size(cloud.points, cloud.num_points, 20)
+        grid = build_grid(cloud.points, cloud.num_points, cell)
+        specs.append(probe_grid_buckets(grid, coarse=True))
+    assert specs[0] == specs[1]
+    assert len(specs[0][0]) == 1      # single coarse bucket

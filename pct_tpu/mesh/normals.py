@@ -74,26 +74,28 @@ def orient_normals(points: jax.Array, normals: jax.Array,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
 
+    # state encoding: 0 = unoriented, ±1 = oriented sign — ONE (N,k)
+    # gather per sweep instead of two (the bool + sign pair of gathers
+    # cost 0.85 s/sweep at 1M×50: TPU row gathers of scalar-width
+    # payloads dominate this loop; measured 33.9 s for 40 sweeps)
     def sweep(_, state):
-        sign, oriented = state
-        nbr_oriented = oriented[indices]                    # (N, k)
-        vote = jnp.sum(jnp.where(nbr_oriented,
-                                 dots * sign[indices], 0.0), axis=-1)
-        frontier = (~oriented) & jnp.any(nbr_oriented, axis=-1) & valid
-        new_sign = jnp.where(frontier,
-                             jnp.where(vote < 0, -1.0, 1.0), sign)
-        return new_sign, oriented | frontier
+        s_n = state[indices]                                # (N, k)
+        vote = jnp.sum(dots * s_n, axis=-1)
+        frontier = (state == 0.0) & jnp.any(s_n != 0.0, axis=-1) & valid
+        return jnp.where(frontier,
+                         jnp.where(vote < 0, -1.0, 1.0), state)
 
     if seed_mask is None:
         zvals = jnp.where(valid, points[:, 2], -jnp.inf)
         seed = jnp.argmax(zvals)
         seed_sign = jnp.where(normals[seed, 2] >= 0, 1.0, -1.0)
-        sign0 = jnp.ones((n,), points.dtype).at[seed].set(seed_sign)
-        oriented0 = jnp.zeros((n,), bool).at[seed].set(True)
+        state0 = jnp.zeros((n,), points.dtype).at[seed].set(seed_sign)
     else:
-        sign0 = jnp.where(seed_mask, seed_signs, 1.0).astype(points.dtype)
-        oriented0 = seed_mask & valid
-    sign, _ = jax.lax.fori_loop(0, sweeps, sweep, (sign0, oriented0))
+        state0 = jnp.where(seed_mask & valid, seed_signs, 0.0).astype(
+            points.dtype)
+    state = jax.lax.fori_loop(0, sweeps, sweep, state0)
+    # never-reached rows keep the raw orientation (sign +1)
+    sign = jnp.where(state == 0.0, 1.0, state)
     return normals * sign[:, None]
 
 
@@ -149,8 +151,12 @@ def _normals_device(points, num_points, cell_size, k: int, kc: int,
     res = knn_cellwise_bucketed(grid, cells, k, spec)
     idx = res.indices[_invert_order(grid.order)]   # original-order rows
     raw = estimate_raw_normals(points, idx)
+    # orientation only needs CONNECTIVITY — vote over the 12 nearest
+    # (the full k=50 graph quadruples the sweep gather volume for no
+    # extra wavefront reach; raw normals keep the full neighborhoods)
+    idx_o = idx[:, :min(12, idx.shape[1])]
     if not hierarchical:
-        return orient_normals(points, raw, idx, num_points,
+        return orient_normals(points, raw, idx_o, num_points,
                               sweeps=sweeps_fine)
 
     ncap = points.shape[0]
@@ -171,7 +177,7 @@ def _normals_device(points, num_points, cell_size, k: int, kc: int,
     csign = jnp.where(jnp.sum(oriented_c * raw_c, axis=-1) < 0.0, -1.0, 1.0)
     seed_mask = jnp.zeros((ncap,), bool).at[sel].set(valid_c)
     seed_signs = jnp.ones((ncap,), points.dtype).at[sel].set(csign)
-    return orient_normals(points, raw, idx, num_points, sweeps=sweeps_fine,
+    return orient_normals(points, raw, idx_o, num_points, sweeps=sweeps_fine,
                           seed_mask=seed_mask, seed_signs=seed_signs)
 
 

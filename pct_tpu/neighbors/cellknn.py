@@ -1357,8 +1357,13 @@ def probe_grid_buckets(grid: GridIndex, tile_cells: int = 128,
     n = grid.sorted_points.shape[0]
     probe = compact_cells(grid, n)
     num_cells = int(np.asarray(probe.num_cells))
-    counts = np.asarray(probe.count)[:num_cells]
-    tot = np.asarray(_probe_totrun(grid, probe))[:num_cells]
+    # slice ON DEVICE before the host copy: the probe tables are (n,)
+    # and the tunnel moves ~MBs in seconds — pulling the full 1M-row
+    # count/totrun arrays cost ~10-20 s per probe (measured inside the
+    # 1M normals stage); the occupied prefix is ~n/(1.9k) rows
+    hi = min(n, _round_up(max(num_cells, 1), 128))
+    counts = np.asarray(probe.count[:hi])[:num_cells]
+    tot = np.asarray(_probe_totrun(grid, probe)[:hi])[:num_cells]
     factor = 1
     num_cells_unsplit = num_cells
     if split_to is not None and num_cells and counts.max() > split_to:

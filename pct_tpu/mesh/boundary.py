@@ -21,11 +21,17 @@ import numpy as np
 
 
 def boundary_edges(faces: np.ndarray) -> np.ndarray:
-    """(T,3) -> (B,2) edges appearing in exactly one face (ref :418-427)."""
+    """(T,3) -> (B,2) edges appearing in exactly one face (ref :418-427).
+
+    Edges are packed into ONE int64 key before np.unique: the axis=0
+    row-unique sorts void-dtype records, ~4x slower (measured 1.8 of a
+    2.9 s hole pass at 300k was that sort)."""
     e = np.concatenate([faces[:, (0, 1)], faces[:, (1, 2)], faces[:, (2, 0)]])
     e = np.sort(e, axis=1)
-    uniq, counts = np.unique(e, axis=0, return_counts=True)
-    return uniq[counts < 2]
+    key = (e[:, 0].astype(np.int64) << 32) | e[:, 1].astype(np.int64)
+    uk, counts = np.unique(key, return_counts=True)
+    b = uk[counts < 2]
+    return np.stack([b >> 32, b & 0xFFFFFFFF], axis=1).astype(faces.dtype)
 
 
 def _loop_partition(be: np.ndarray):

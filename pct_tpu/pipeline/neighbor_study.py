@@ -80,11 +80,22 @@ def explicit_quadratic_neighbor_study(
     """Returns (recommended_k scalar int32, per-sample converged k).
 
     recommended_k = int(mean(converged samples)) + 1
-    (ref pointCloudToolbox.py:797-800).
+    (ref pointCloudToolbox.py:797-800). One jit call end-to-end —
+    staged eagerly, the grid build + sampling cost ~20 tunnel
+    round-trips (~10 s of a 14.6 s bunny study, measured).
     """
-    key = jax.random.PRNGKey(seed)
-    n = cloud.num_points
     sample_size = min(sample_size, cloud.capacity)
+    return _study_jit(cloud.points, cloud.num_points, sample_size=sample_size,
+                      kmin=kmin, kmax=kmax, seed=seed, tol=float(tol),
+                      tol_rel=float(tol_rel))
+
+
+@partial(jax.jit, static_argnames=("sample_size", "kmin", "kmax", "seed",
+                                   "tol", "tol_rel"))
+def _study_jit(points, num_points, sample_size: int, kmin: int, kmax: int,
+               seed: int, tol: float, tol_rel: float):
+    key = jax.random.PRNGKey(seed)
+    n = num_points
     # uniform sample of valid points (ref :751-754 random.sample)
     sample_idx = (jax.random.uniform(key, (sample_size,))
                   * n.astype(jnp.float32)).astype(jnp.int32)
@@ -93,21 +104,21 @@ def explicit_quadratic_neighbor_study(
     from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
     from pct_tpu.neighbors.knn import knn_grid
 
-    cell = estimate_cell_size(cloud.points, cloud.num_points, kmax + 1)
-    grid = build_grid(cloud.points, cloud.num_points, cell)
-    res = knn_grid(grid, cloud.points[sample_idx], kmax + 1,
+    cell = estimate_cell_size(points, num_points, kmax + 1)
+    grid = build_grid(points, num_points, cell)
+    res = knn_grid(grid, points[sample_idx], kmax + 1,
                    query_indices=sample_idx,
                    capacity=int(2.5 * kmax) + 16, tile=min(512, sample_size))
     # characteristic scale (max distance from centroid over valid points,
     # ref utils.py:767-775) — normalizes the convergence tolerance
-    valid = jnp.arange(cloud.points.shape[0]) < n
+    valid = jnp.arange(points.shape[0]) < n
     vm = valid[:, None].astype(jnp.float32)
-    centroid = jnp.sum(cloud.points * vm, axis=0) / jnp.maximum(
+    centroid = jnp.sum(points * vm, axis=0) / jnp.maximum(
         jnp.sum(vm), 1.0)
-    d2 = jnp.sum((cloud.points - centroid) ** 2, axis=-1)
+    d2 = jnp.sum((points - centroid) ** 2, axis=-1)
     scale_sq = jnp.maximum(jnp.max(jnp.where(valid, d2, 0.0)), 1e-20)
     conv_k, conv_mask = _ladder_converged_k(
-        cloud.points, sample_idx, res.indices, kmin, kmax, tol,
+        points, sample_idx, res.indices, kmin, kmax, tol,
         scale_sq=scale_sq, tol_rel=tol_rel,
     )
     # reference parity (ref :790-791 ``if best is None: best = upper``):

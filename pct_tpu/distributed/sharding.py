@@ -159,14 +159,14 @@ def sharded_curvature(
             (sp.capacity, sp.cand_cap, impl_b, args)
             for sp, args, impl_b in bucketed_tile_args(
                 grid, cells, bucket_spec, tile_cells, select_impl,
-                pad_tiles_to=d, demote_pallas=not moments, pack=pack)
+                pad_tiles_to=d, demote_pallas=not moments, pack=pack, k=k)
         ]
     else:
         if cand_cap is None:
             cand_cap = 27 * capacity
         tile_args, tile_cells, select_impl = _cellwise_setup(
             grid, cells, capacity, tile_cells, cand_cap, select_impl,
-            demote_pallas=not moments, pack=pack)
+            demote_pallas=not moments, pack=pack, k=k)
         buckets = [(capacity, cand_cap, select_impl, _pad_tiles(tile_args))]
 
     def fn(centered, found):

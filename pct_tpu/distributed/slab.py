@@ -59,6 +59,19 @@ class SlabResult(NamedTuple):
     order: jax.Array         # original index per sorted row (for unsorting)
 
 
+@jax.jit
+def _bbox_extents(pts, m):
+    """(3,) bbox extents of the first m rows. Module-level jit: the
+    in-memory trace cache keys on the function OBJECT, so a per-call
+    closure would re-trace (and re-dispatch over the 0.4 s-RTT tunnel)
+    on every best_axis_order call."""
+    valid = (jnp.arange(pts.shape[0]) < m)[:, None]
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(valid, pts, big), axis=0)
+    hi = jnp.max(jnp.where(valid, pts, -big), axis=0)
+    return hi - lo
+
+
 def best_axis_order(points, num_points) -> tuple:
     """Axis permutation putting the largest bbox extent on the SLOWEST
     linearize axis (last). The sorted order is x-fastest/z-slowest, so a
@@ -68,15 +81,7 @@ def best_axis_order(points, num_points) -> tuple:
     """
     import numpy as np
 
-    @jax.jit
-    def extents(pts, m):
-        valid = (jnp.arange(pts.shape[0]) < m)[:, None]
-        big = jnp.float32(3.4e38)
-        lo = jnp.min(jnp.where(valid, pts, big), axis=0)
-        hi = jnp.max(jnp.where(valid, pts, -big), axis=0)
-        return hi - lo
-
-    e = np.asarray(extents(points, num_points))
+    e = np.asarray(_bbox_extents(points, num_points))
     return tuple(int(a) for a in np.argsort(e))  # ascending: largest last
 
 
@@ -242,7 +247,7 @@ def slab_curvature(
         cells_l = compact_cells(lgrid, max_cells)
         tile_args, _tc, impl = _cellwise_setup(
             lgrid, cells_l, capacity, tile_cells, cand_cap, select_impl,
-            pack=1)  # cellwise_tile_runner fetches unpacked
+            pack=1, k=k)  # cellwise_tile_runner fetches unpacked
 
         def fn(centered, found):
             del found

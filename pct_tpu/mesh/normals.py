@@ -46,12 +46,13 @@ def estimate_raw_normals(points: jax.Array, indices: jax.Array,
     return out.reshape(-1, 3)[:n]
 
 
-@partial(jax.jit, static_argnames=("sweeps",))
+@partial(jax.jit, static_argnames=("sweeps", "consensus"))
 def orient_normals(points: jax.Array, normals: jax.Array,
                    indices: jax.Array, num_points: jax.Array,
                    sweeps: int = 64,
                    seed_mask: jax.Array | None = None,
-                   seed_signs: jax.Array | None = None):
+                   seed_signs: jax.Array | None = None,
+                   consensus: int = 8):
     """Wavefront sign propagation over the kNN graph.
 
     A synchronous everyone-votes scheme oscillates (parallel Ising
@@ -96,6 +97,21 @@ def orient_normals(points: jax.Array, normals: jax.Array,
     state = jax.lax.fori_loop(0, sweeps, sweep, state0)
     # never-reached rows keep the raw orientation (sign +1)
     sign = jnp.where(state == 0.0, 1.0, state)
+
+    # consensus relaxation: the wavefront fixes each point ONCE, so a
+    # marginal early vote near a pinch/thin region can cascade into a
+    # mis-signed pocket. Re-vote every point against the fully oriented
+    # state and flip strict losers; converges in a handful of sweeps
+    # (measured on the 6k cyclide: sign agreement 0.984 -> 0.996,
+    # convergence at sweep 7; a clean sphere/torus flips nothing). On
+    # non-orientable inputs the bounded sweep count leaves the seam in
+    # place, as the wavefront alone did.
+    def cons_sweep(_, s):
+        vote = jnp.sum(dots * s[indices], axis=-1)
+        return jnp.where(valid & (s * vote < 0.0), -s, s)
+
+    if consensus:
+        sign = jax.lax.fori_loop(0, consensus, cons_sweep, sign)
     return normals * sign[:, None]
 
 
@@ -121,10 +137,11 @@ def _probe_grid(points, num_points, k: int):
 
 @partial(jax.jit, static_argnames=("k", "kc", "stride", "sweeps_coarse",
                                    "sweeps_fine", "hierarchical", "spec",
-                                   "max_cells"))
+                                   "max_cells", "voters"))
 def _normals_device(points, num_points, cell_size, k: int, kc: int,
                     stride: int, sweeps_coarse: int, sweeps_fine: int,
-                    hierarchical: bool, spec: tuple, max_cells: int):
+                    hierarchical: bool, spec: tuple, max_cells: int,
+                    voters: int = 12):
     """The ENTIRE estimate+orient pass as one XLA program.
 
     The previous implementation staged knn_cloud_grid (host probe +
@@ -151,10 +168,13 @@ def _normals_device(points, num_points, cell_size, k: int, kc: int,
     res = knn_cellwise_bucketed(grid, cells, k, spec)
     idx = res.indices[_invert_order(grid.order)]   # original-order rows
     raw = estimate_raw_normals(points, idx)
-    # orientation only needs CONNECTIVITY — vote over the 12 nearest
-    # (the full k=50 graph quadruples the sweep gather volume for no
-    # extra wavefront reach; raw normals keep the full neighborhoods)
-    idx_o = idx[:, :min(12, idx.shape[1])]
+    # orientation only needs CONNECTIVITY — vote over the ``voters``
+    # nearest (default 12; the full k=50 graph quadruples the sweep
+    # gather volume for no extra wavefront reach; raw normals keep the
+    # full neighborhoods). Sign consistency under the truncation is
+    # gated on high-genus geometry by tests/test_mesh.py
+    # (cyclide + möbius regression).
+    idx_o = idx[:, :min(voters, idx.shape[1])]
     if not hierarchical:
         return orient_normals(points, raw, idx_o, num_points,
                               sweeps=sweeps_fine)
@@ -181,7 +201,58 @@ def _normals_device(points, num_points, cell_size, k: int, kc: int,
                           seed_mask=seed_mask, seed_signs=seed_signs)
 
 
-def estimate_and_orient_normals(cloud, k: int = 50, sweeps: int = 40):
+@partial(jax.jit, static_argnames=("kv", "kc", "stride", "sweeps_coarse",
+                                   "sweeps_fine", "hierarchical", "spec_v",
+                                   "max_cells_v"))
+def _orient_device(points, num_points, cell_size_v, raw, kv: int, kc: int,
+                   stride: int, sweeps_coarse: int, sweeps_fine: int,
+                   hierarchical: bool, spec_v: tuple, max_cells_v: int):
+    """Voter kNN + wavefront orientation of caller-supplied RAW normals.
+
+    The voter graph is a SMALL select (kv ~ 12) on the SAME k-sized grid
+    the raw normals used: the candidate set and tie order match the old
+    combined pass's k=50 select exactly, so the voters are bit-identical
+    to its first-12-of-50 wherever both find kv real neighbors — but the
+    kernel unrolls only kv rounds, leaving the k=50 select class (the
+    static family behind the round-4 scoped-VMEM OOM and the 30-min
+    Mosaic compiles, sweep_r4_200k_perturbed.csv) entirely uncompiled."""
+    from pct_tpu.neighbors.cellknn import (
+        compact_cells,
+        knn_all_points,
+        knn_cellwise_bucketed,
+    )
+    from pct_tpu.neighbors.grid import build_grid, estimate_cell_size
+
+    grid_v = build_grid(points, num_points, cell_size_v)
+    cells_v = compact_cells(grid_v, max_cells_v)
+    res_v = knn_cellwise_bucketed(grid_v, cells_v, kv, spec_v)
+    idx_o = res_v.indices[_invert_order(grid_v.order)]
+    if not hierarchical:
+        return orient_normals(points, raw, idx_o, num_points,
+                              sweeps=sweeps_fine)
+
+    ncap = points.shape[0]
+    n_sel = (ncap + stride - 1) // stride
+    sel = jnp.arange(n_sel, dtype=jnp.int32) * stride
+    valid_c = sel < num_points                     # prefix mask (sel asc)
+    cpts = jnp.where(valid_c[:, None], points[sel], 0.0)
+    m_c = jnp.sum(valid_c.astype(jnp.int32))
+    cell_c = estimate_cell_size(cpts, m_c, kc)
+    grid_c = build_grid(cpts, m_c, cell_c)
+    res_c = knn_all_points(grid_c, kc)
+    idx_c = res_c.indices[_invert_order(grid_c.order)]
+    raw_c = raw[sel]
+    oriented_c = orient_normals(cpts, raw_c, idx_c, m_c,
+                                sweeps=sweeps_coarse)
+    csign = jnp.where(jnp.sum(oriented_c * raw_c, axis=-1) < 0.0, -1.0, 1.0)
+    seed_mask = jnp.zeros((ncap,), bool).at[sel].set(valid_c)
+    seed_signs = jnp.ones((ncap,), points.dtype).at[sel].set(csign)
+    return orient_normals(points, raw, idx_o, num_points, sweeps=sweeps_fine,
+                          seed_mask=seed_mask, seed_signs=seed_signs)
+
+
+def estimate_and_orient_normals(cloud, k: int = 50, sweeps: int = 40,
+                                voters: int = 12):
     """Full replacement for the reference's estimate+orient pass
     (ref utils.py:74-80): grid kNN (k=50 default, as the reference's
     orient step) -> covariance normals -> voting orientation. One
@@ -208,14 +279,43 @@ def estimate_and_orient_normals(cloud, k: int = 50, sweeps: int = 40):
     kc = min(16, max(4, n_sel - 1))
     fine = (max(sweeps, 4 * int(np.ceil(np.sqrt(stride))))
             if hier else sweeps)
-    # one host probe (same pattern as fast_curvature): bucketed statics
-    # keep the k=50 select kernel in the Mosaic-safe compile class. The
-    # grid build is ONE jit call — eagerly it is ~20 ops x 0.4 s tunnel
-    # RTT (measured 10.7 s warm at bunny scale before this)
+    if k >= 32:
+        # large-k raw normals via the MOMENT engine (round 5): the k=50
+        # LIST select is exactly the static family behind the round-4
+        # scoped-VMEM OOM and the 30-min Mosaic compiles on perturbed
+        # clouds — the moment kernel's O(32·M) count passes with
+        # split_to=128 statics stay in the seconds-class everywhere,
+        # and its epilogue already emits the fit normal (same k-nearest
+        # neighborhood; sign fixed by the voting below either way).
+        from pct_tpu.pipeline.fused import fused_curvature
+
+        grid_m = _probe_grid(cloud.points, cloud.num_points, k)
+        spec_m, mc_m, factor = probe_grid_buckets(
+            grid_m, capacity_cap=max(256, 4 * k), split_to=128)
+        raw = fused_curvature(cloud.points, cloud.num_points,
+                              grid_m.cell_size, k=k, max_cells=mc_m,
+                              bucket_spec=spec_m, engine="moments",
+                              split=(128, factor)).normals
+        kv = min(voters, k)
+        # voter graph on the SAME k-sized grid (unsplit statics): the
+        # candidate windows match the old k=50 pass, so the kv winners
+        # are its first kv-of-k bit-identically (a kv-sized grid's
+        # narrower windows measurably perturbed ~5% of cyclide voter
+        # sets and cost 1.6% sign agreement)
+        spec_v, mc_v = probe_grid_buckets(grid_m,
+                                          capacity_cap=max(256, 4 * k))
+        return _orient_device(cloud.points, cloud.num_points,
+                              grid_m.cell_size, raw, kv=kv, kc=kc,
+                              stride=stride, sweeps_coarse=512,
+                              sweeps_fine=fine, hierarchical=hier,
+                              spec_v=spec_v, max_cells_v=mc_v)
+    # small k: the combined list-select pass (one jit, Mosaic-safe at
+    # k < 32 by the select plan)
     grid = _probe_grid(cloud.points, cloud.num_points, k)
     spec, mc = probe_grid_buckets(grid, capacity_cap=max(256, 4 * k))
     return _normals_device(cloud.points, cloud.num_points, grid.cell_size,
                            k=k, kc=kc,
                            stride=stride, sweeps_coarse=512,
                            sweeps_fine=fine, hierarchical=hier,
-                           spec=spec, max_cells=mc)
+                           spec=spec, max_cells=mc,
+                           voters=min(voters, k))

@@ -196,20 +196,83 @@ def _clip_runs(run_len, cand_cap: int):
     return jnp.clip(cand_cap - excl, 0, run_len)
 
 
+def _select_scoped_bytes(block: int, c: int, m: int, k: int) -> int:
+    """Mosaic scoped-VMEM estimate for one select-kernel program.
+
+    Dominant terms, matched against the round-4 in-the-wild OOM
+    ("scoped allocation 21.51M" at block=8, C=192, M~1600, k=50 —
+    this model gives 21.3M for that config):
+      2 live (B,C,M) f32 copies (d2 + the iota/where temporary),
+      4 double-buffered (B,M) candidate arrays,
+      3+1 (B,C) query arrays, 2 double-buffered (B,C,k) outputs.
+    """
+    return (8 * block * c * m          # d2 + one (B,C,M) temp
+            + 32 * block * m           # 4 x (B,M) in, double-buffered
+            + 16 * block * c           # 4 x (B,C) query-side arrays
+            + 16 * block * c * k)      # 2 x (B,C,k) out, double-buffered
+
+
+_SELECT_VMEM_DEFAULT = 12 << 20   # keep 4 MB headroom under Mosaic's 16 MB
+_SELECT_VMEM_RAISED = 64 << 20    # raised budget (v5e has 128 MB VMEM)
+_SELECT_COMPILE_HAZARD = 48_000  # max k*M admitted to the unrolled-k
+# select at k >= 32. Measured Mosaic compile walls for the k=50 class:
+# (64,144,50)/M=4016 (kM 200k) — 34 min then scoped-VMEM OOM (CLAUDE.md
+# round-4); (128,192,50)/M~1900 (kM 96k) — 32 min then OOM
+# (sweep_r4_200k_perturbed.csv timestamps); (128,192,50)/M=1600 (kM
+# 80k) with the raised vmem limit — >20 min compile reproduced round 5
+# (scripts/probe_vmem_fix.py). The class is a compile-time sink
+# regardless of the VMEM budget, so k>=32 selects above this cap demote
+# to the XLA path (HBM distance expansion + top_k: fast to compile,
+# moderate runtime). k < 32 (headline class) is exempt — it has never
+# shown the pathology at any probed M.
+
+
+def _select_plan(capacity: int, m: int, k: int):
+    """(block_cells, vmem_limit_bytes|None) for the pallas select, or
+    (None, None) when even block=1 exceeds the raised budget.
+
+    Prefers block=8 (block != 8 measured slower on the headline path);
+    programs that fit the DEFAULT scoped budget get vmem_limit=None so
+    their compiled artifacts stay byte-identical to pre-plan builds."""
+    for block in (8, 4, 2, 1):
+        need = _select_scoped_bytes(block, capacity, m, k)
+        if need <= _SELECT_VMEM_DEFAULT:
+            return block, None
+        if need <= (_SELECT_VMEM_RAISED * 3) // 4:
+            return block, _SELECT_VMEM_RAISED
+    return None, None
+
+
+def pallas_select_ok(capacity: int, cand_cap: int, k: int,
+                     pack: int = 1) -> bool:
+    """Would the pallas select admit this (capacity, cand_cap, k) static?
+    False when the working set overflows even at block=1 or the config
+    falls in the Mosaic compile-hazard class (k >= 32 with huge k*M).
+    Routing helper for pipeline-level engine choices (pipeline/fused.py).
+    """
+    m = _cand_m(cand_cap, pack)
+    if k >= 32 and k * m > _SELECT_COMPILE_HAZARD:
+        return False
+    return _select_plan(capacity, m, k)[0] is not None
+
+
 def _working_set_guards(capacity: int, tile_cells: int, cand_cap: int,
                         select_impl: str, demote_pallas: bool = True,
-                        pack: int = 1):
+                        pack: int = 1, k: int | None = None):
     """VMEM/HBM working-set guards (large k => capacity up to 256,
     M in the thousands). Returns (tile_cells, select_impl), possibly
     reduced. ``demote_pallas=False`` skips the pallas->xla fallback (the
     moment kernel manages its own VMEM via an int32 scratch + chunked
-    passes).
+    passes; ``k`` only participates in the select-kernel plan).
     """
     m_width = _cand_m(cand_cap, pack)
-    # pallas select keeps (block_cells, capacity, M) in VMEM; fall back to
-    # the XLA path when even one cell's rows exceed the VMEM budget
+    # pallas select holds ~2 (block, capacity, M) f32 copies plus the
+    # (block, capacity, k) outputs in scoped VMEM; demote to XLA when no
+    # (block_cells, vmem_limit) fits, or when the static falls in the
+    # Mosaic compile-hazard class. _tile_select recomputes the same plan
+    # to pick the actual block size / limit.
     if (demote_pallas and select_impl == "pallas"
-            and capacity * m_width * 4 * 3 > 10 << 20):
+            and not pallas_select_ok(capacity, cand_cap, k or 0, pack)):
         select_impl = "xla"
     # XLA path materializes (tile, capacity, M) distance tensors in HBM;
     # shrink the tile so that stays <= ~256 MB
@@ -320,7 +383,8 @@ def _runs_table(grid: GridIndex, cells: CellTable,
 
 def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
                     tile_cells: int, cand_cap: int, select_impl: str,
-                    demote_pallas: bool = True, pack: int | None = None):
+                    demote_pallas: bool = True, pack: int | None = None,
+                    k: int | None = None):
     """Shared prologue for the single-bucket cell loop: working-set
     guards + runs table + tile padding. ``pack`` must match the pack the
     caller's tile body will fetch candidates with (the guards size M
@@ -334,7 +398,7 @@ def _cellwise_setup(grid: GridIndex, cells: CellTable, capacity: int,
     pack = _cand_pack(n) if pack is None else pack
     tile_cells, select_impl = _working_set_guards(
         capacity, tile_cells, cand_cap, select_impl, demote_pallas,
-        pack=pack)
+        pack=pack, k=k)
     pad_tiles = (-mc) % tile_cells
 
     cid = jnp.pad(cells.cell_id, (0, pad_tiles), constant_values=PAD_ID)
@@ -535,21 +599,33 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, cand_cap: int,
     if select_impl == "pallas" or select_impl == "pallas_interpret":
         interpret = select_impl == "pallas_interpret"
         ok_i = ok_cand.astype(jnp.int32)
+        # scoped-VMEM plan for THIS static: shrink block_cells / raise the
+        # Mosaic budget when the working set overflows the 16 MB default
+        # (round-4 in-the-wild OOM: (tile,192,50) k=50 select on perturbed
+        # clouds). The guards already demoted configs with no plan.
+        block, vmem_limit = _select_plan(capacity, cand.shape[1], k)
+        if block is None:      # unguarded direct caller: fail safe
+            block, vmem_limit = 1, _SELECT_VMEM_RAISED
         if want == "coords":
             from pct_tpu.ops.pallas_select import knn_select_coords
 
             dists, win = knn_select_coords(qpts, cpts, cand, qrow, ok_i, k,
-                                           interpret=interpret)
+                                           block_cells=block,
+                                           interpret=interpret,
+                                           vmem_limit=vmem_limit)
         elif want == "rows":
             from pct_tpu.ops.pallas_select import knn_select_rows
 
             dists, win = knn_select_rows(qpts, cpts, cand, qrow, ok_i, k,
-                                         interpret=interpret)
+                                         block_cells=block,
+                                         interpret=interpret,
+                                         vmem_limit=vmem_limit)
         else:
             from pct_tpu.ops.pallas_select import knn_select
 
             dists, pos = knn_select(qpts, cpts, cand, qrow, ok_i, k,
-                                    interpret=interpret)
+                                    block_cells=block, interpret=interpret,
+                                    vmem_limit=vmem_limit)
         found = dists < 1e18     # kernel backs missing slots with ~3e38
     else:
         # --- XLA path: MXU distance expansion in cell-local coords ---
@@ -618,7 +694,7 @@ def knn_cellwise(
     if cand_cap is None:
         cand_cap = 27 * capacity
     tile_args, tile_cells, select_impl = _cellwise_setup(
-        grid, cells, capacity, tile_cells, cand_cap, select_impl)
+        grid, cells, capacity, tile_cells, cand_cap, select_impl, k=k)
 
     use_ids = original_ids and n < (1 << 24)   # f32-exact id range
 
@@ -697,7 +773,7 @@ def knn_cellwise_bucketed(
     idxs, dsts, exacts = [], [], []
     padded_cells = []          # per bucket: cells incl. tile padding (static)
     for sp, tile_args, impl_b in bucketed_tile_args(
-            grid, cells, bucket_spec, tile_cells, select_impl):
+            grid, cells, bucket_spec, tile_cells, select_impl, k=k):
 
         use_ids = original_ids and n < (1 << 24)   # f32-exact id range
 
@@ -879,7 +955,7 @@ def apply_cellwise(
     tile_args, tile_cells, select_impl = _cellwise_setup(
         grid, cells, capacity, tile_cells, cand_cap, select_impl,
         demote_pallas=runner is cellwise_tile_runner,
-        pack=1 if runner is cellwise_tile_runner else None)
+        pack=1 if runner is cellwise_tile_runner else None, k=k)
 
     one_tile = runner(grid, k, capacity, cand_cap, select_impl, fn)
     if _is_moments_runner(runner) and select_impl == "pallas":
@@ -1075,7 +1151,8 @@ def _bucket_tables(grid: GridIndex, cells: CellTable,
 def bucketed_tile_args(grid: GridIndex, cells: CellTable,
                        spec: tuple[BucketSpec, ...], tile_cells: int,
                        select_impl: str, pad_tiles_to: int = 1,
-                       demote_pallas: bool = True, pack: int | None = None):
+                       demote_pallas: bool = True, pack: int | None = None,
+                       k: int | None = None):
     """Per-bucket tile arguments for the bucketed cell loop.
 
     Returns a list of (BucketSpec, tile_args, select_impl) — one entry
@@ -1091,7 +1168,7 @@ def bucketed_tile_args(grid: GridIndex, cells: CellTable,
         pack_b = _cand_pack(n) if pack is None else pack
         tc_b, impl_b = _working_set_guards(
             sp.capacity, tile_cells, sp.cand_cap, select_impl, demote_pallas,
-            pack=pack_b)
+            pack=pack_b, k=k)
         overflow_b = _budget_overflow(rl_b, sp.cand_cap) | lost
         pad = (-sp.max_cells) % tc_b
         tile_args = (
@@ -1152,7 +1229,7 @@ def apply_cellwise_bucketed(
     for sp, tile_args, impl_b in bucketed_tile_args(
             grid, cells, spec, tile_cells, select_impl,
             demote_pallas=runner is cellwise_tile_runner,
-            pack=1 if runner is cellwise_tile_runner else None):
+            pack=1 if runner is cellwise_tile_runner else None, k=k):
         one_tile = runner(grid, k, sp.capacity, sp.cand_cap, impl_b, fn)
         if _is_moments_runner(runner) and impl_b == "pallas":
             # single pallas call over all of this bucket's cells (see

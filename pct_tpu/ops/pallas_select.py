@@ -36,6 +36,18 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = 3.0e38  # python scalar: jnp constants cannot be captured by kernels
 
 
+def _compiler_kwargs(vmem_limit: int | None):
+    """compiler_params kwarg for pallas_call: raise Mosaic's scoped-VMEM
+    budget (default 16 MB; v5e has 128 MB) ONLY when the caller's working
+    -set plan asked for it — omitting the param entirely keeps programs
+    that fit the default budget byte-identical to pre-plan builds (no
+    cache invalidation of the known-good headline configs)."""
+    if vmem_limit is None:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=int(vmem_limit))}
+
+
 def _axes3(a):
     """Per-axis (.., M) views of (..., 3) coords or an already-split
     3-tuple. Callers in the packed cell loop pass the tuple form — a
@@ -150,10 +162,12 @@ def _select_rows_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
         d2 = jnp.where(sel, _INF, d2)
 
 
-@partial(jax.jit, static_argnames=("k", "block_cells", "interpret"))
+@partial(jax.jit, static_argnames=("k", "block_cells", "interpret",
+                                   "vmem_limit"))
 def knn_select_rows(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
                     qrow: jax.Array, valid: jax.Array, k: int,
-                    block_cells: int = 8, interpret: bool = False):
+                    block_cells: int = 8, interpret: bool = False,
+                    vmem_limit: int | None = None):
     """(T,C,3) queries vs (T,M,3)-or-per-axis-tuple candidates ->
     (dists (T,C,k), rows (T,C,k) winner sorted-row ids == cand[pos])."""
     t, c, _ = qpts.shape
@@ -196,15 +210,18 @@ def knn_select_rows(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
             jax.ShapeDtypeStruct((tp, c, k), jnp.int32),
         ),
         interpret=interpret,
+        **_compiler_kwargs(vmem_limit),
     )(qpts[..., 0], qpts[..., 1], qpts[..., 2], px, py, pz,
       cand, qrow, valid)
     return dists[:t], rows[:t]
 
 
-@partial(jax.jit, static_argnames=("k", "block_cells", "interpret"))
+@partial(jax.jit, static_argnames=("k", "block_cells", "interpret",
+                                   "vmem_limit"))
 def knn_select_coords(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
                       qrow: jax.Array, valid: jax.Array, k: int,
-                      block_cells: int = 8, interpret: bool = False):
+                      block_cells: int = 8, interpret: bool = False,
+                      vmem_limit: int | None = None):
     """(T,C,3) queries vs (T,M,3)-or-per-axis-tuple candidates ->
     (dists (T,C,k), nbrs (T,C,k,3) winner coordinates).
 
@@ -247,16 +264,19 @@ def knn_select_coords(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
         out_shape=tuple(
             jax.ShapeDtypeStruct((tp, c, k), jnp.float32) for _ in range(4)),
         interpret=interpret,
+        **_compiler_kwargs(vmem_limit),
     )(qpts[..., 0], qpts[..., 1], qpts[..., 2], px, py, pz,
       cand, qrow, valid)
     nbrs = jnp.stack([nx[:t], ny[:t], nz[:t]], axis=-1)
     return dists[:t], nbrs
 
 
-@partial(jax.jit, static_argnames=("k", "block_cells", "interpret"))
+@partial(jax.jit, static_argnames=("k", "block_cells", "interpret",
+                                   "vmem_limit"))
 def knn_select(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
                qrow: jax.Array, valid: jax.Array, k: int,
-               block_cells: int = 8, interpret: bool = False):
+               block_cells: int = 8, interpret: bool = False,
+               vmem_limit: int | None = None):
     """(T,C,3) queries vs (T,M,3)-or-per-axis-tuple candidates ->
     (dists (T,C,k), pos (T,C,k)).
 
@@ -304,6 +324,7 @@ def knn_select(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
             jax.ShapeDtypeStruct((tp, c, k), jnp.int32),
         ),
         interpret=interpret,
+        **_compiler_kwargs(vmem_limit),
     )(qpts[..., 0], qpts[..., 1], qpts[..., 2], px, py, pz,
       cand, qrow, valid)
     return dists[:t], pos[:t]

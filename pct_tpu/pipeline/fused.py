@@ -301,8 +301,15 @@ def fast_curvature(cloud, k: int = 20, method: str = "explicit",
     # headline paths.
     spec, mc = probe_grid_buckets(grid, capacity_cap=max(256, 4 * k),
                                   coarse=coarse_spec)
-    # select path runs unpacked (cellwise_tile_runner pins pack=1)
-    select_ok = all(sp.capacity * sp.cand_cap * 4 * 3 <= 10 << 20
+    # select path runs unpacked (cellwise_tile_runner pins pack=1).
+    # pallas_select_ok models the FULL kernel working set (2 live
+    # (block,C,M) copies + (block,C,k) outputs — the terms the old
+    # capacity*cand_cap*12 formula missed, which admitted the round-4
+    # scoped-VMEM OOM class) and rejects the Mosaic compile-hazard
+    # class (k >= 32 with k*M ~ 200k: 34-min compiles).
+    from pct_tpu.neighbors.cellknn import pallas_select_ok
+
+    select_ok = all(pallas_select_ok(sp.capacity, sp.cand_cap, k)
                     for sp in spec)
     if not select_ok:
         if method != "explicit":

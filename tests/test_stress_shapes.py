@@ -75,3 +75,23 @@ def test_epsilon_ball_curvature_egg_carton():
     # egg carton: K in [-K0, K0] with K0 = (0.1π²)² ≈ 0.97 (+fit noise)
     inner = np.abs(pts[:, 0]) < 0.8
     assert np.abs(K[inner]).max() < 2.0
+
+def test_cyclide_orientation_voter_truncation():
+    """High-genus regression gate for the orientation VOTER truncation
+    (ADVICE r4): _normals_device votes over only the 12 nearest of the
+    k=50 graph — on thin/high-genus geometry (the cyclide's pinch packs
+    samples ~100x denser) a too-small voter graph could disconnect and
+    leave whole components flipped. The cyclide is orientable, so signs
+    must be GLOBALLY consistent: neighbor agreement ~1.0, not merely
+    seam-tolerant like the möbius gate."""
+    from pct_tpu.mesh.normals import estimate_and_orient_normals
+
+    n = 6000
+    pts, _ = generate_shape("dupin_cyclide", n)
+    cloud = from_numpy(pts)
+    nrm = np.asarray(estimate_and_orient_normals(cloud, k=50))[:n]
+    assert np.isfinite(nrm).all()
+    res, _ = knn_cloud_grid(cloud, k=8)
+    idx = np.asarray(res.indices)[:n]
+    dots = np.einsum("nd,nkd->nk", nrm, nrm[idx])
+    assert (dots > 0).mean() > 0.99

@@ -112,3 +112,40 @@ def test_sweep_incremental_csv(tmp_path):
     # cylinder stretching theory is 0 -> percent-error fallback still a number
     cyl = [r for r in got if r["shape"] == "cylinder"][0]
     assert float(cyl["area_error_pct"]) < 25.0
+
+
+def test_study_gate_aborts_on_degenerate_cloud():
+    """VERDICT r4 ask #5: after the reference-parity non-converged->kmax
+    rule the converged-k<10 gate must STILL fire on genuinely degenerate
+    geometry. A flat plane converges at the k ladder's bottom rung
+    everywhere (K identically 0), recommending k=4 — below the
+    min_converged_k=10 bar (ref utils.py:490-492)."""
+    import numpy as np
+
+    from pct_tpu.validate.harness import validate_cloud
+
+    rng = np.random.default_rng(0)
+    pts = np.zeros((4000, 3), np.float32)
+    pts[:, :2] = rng.random((4000, 2)).astype(np.float32)
+    res = validate_cloud(pts, auto_k=True, use_mesh=False)
+    assert res.aborted == "neighbor study did not converge"
+    assert res.converged_k < 10
+    # transparency fields: everything converged (at tiny k), kmax recorded
+    assert res.converged_fraction > 0.9
+    assert res.study_kmax == 99
+
+
+def test_sweep_csv_has_transparency_and_compile_columns(tmp_path):
+    """converged_fraction / study_kmax / t_compile / cache columns
+    (VERDICT r4 asks #3 and #5) must be present and populated."""
+    out = tmp_path / "inc.csv"
+    rows = run_sweep([2500], [1.0], ["sphere"], out_csv=str(out),
+                     backup_csv=None, k_neighbors=12, auto_k=True,
+                     use_mesh=False)
+    with open(out) as f:
+        got = list(csv.DictReader(f))
+    r = got[0]
+    assert 0.0 <= float(r["converged_fraction"]) <= 1.0
+    assert int(r["study_kmax"]) == 99
+    assert float(r["t_compile"]) > 0.0        # this process compiled fresh
+    assert r["cache"] in ("warm", "cold")

@@ -65,6 +65,13 @@ def _load():
         ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
     ]
+    lib.bpa_reconstruct_passes.restype = ctypes.c_int
+    lib.bpa_reconstruct_passes.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+    ]
     lib.bpa_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return lib
@@ -73,8 +80,16 @@ def _load():
 def ball_pivoting(points: np.ndarray, normals: np.ndarray,
                   radii: Sequence[float],
                   degeneracy_jitter: float = 0.0,
-                  mean_spacing: float | None = None) -> np.ndarray:
+                  mean_spacing: float | None = None,
+                  passes: int = 1) -> np.ndarray:
     """(N,3) points + unit normals + ascending radii -> (T,3) int32 faces.
+
+    ``passes``: repeat the whole radius ladder while the mesh still
+    grows (late large-radius gluing could in principle unlock earlier
+    seeds). Measured round 5 on the cyclide stress configs: pass 2 adds
+    ZERO faces on every (n, seed) tried — the single sweep is already a
+    fixed point of the ORPHAN->INSIDE state machine — so the default
+    stays 1; the hook remains for other cloud classes.
 
     ``degeneracy_jitter``: fraction of the mean 1-NN spacing added as a
     seeded symmetry-breaking perturbation to the PIVOT GEOMETRY only
@@ -99,12 +114,12 @@ def ball_pivoting(points: np.ndarray, normals: np.ndarray,
     nrm = np.ascontiguousarray(normals, dtype=np.float32)
     r = np.ascontiguousarray(sorted(radii), dtype=np.float32)
     out = ctypes.POINTER(ctypes.c_int32)()
-    t = lib.bpa_reconstruct(
+    t = lib.bpa_reconstruct_passes(
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         pts.shape[0],
         r.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        len(r), ctypes.byref(out))
+        len(r), int(passes), ctypes.byref(out))
     if t == 0:
         return np.zeros((0, 3), np.int32)
     faces = np.ctypeslib.as_array(out, shape=(t, 3)).copy()
@@ -125,22 +140,37 @@ def bpa_radii_adaptive(nn_dists: np.ndarray, max_num: int = 25) -> np.ndarray:
     The reference's 25-rung linspace (utils.py:441-470) exists for
     multi-scale spacing; a ladder derived from the MEAN alone leaves
     ~20×-spread clouds (dupin cyclide stress config) unreconstructed on
-    the sparse side. Ladders geometrically from the median spacing to
-    2.5× the max sampled spacing (a pivoting ball bridges gaps up to
-    ~2r; measured on the 8k cyclide: 2.5×max gives F/V 1.62 vs 1.55 for
-    2.5×p99, while 4×max over-bridges back down to 1.54), with ~8 rungs
-    per 5× band, capped at the reference's 25. Uniform clouds
-    degenerate to ``bpa_radii``'s [d̄, 5·d̄] 8-rung ladder.
+    the sparse side.
+
+    Two regimes by sampled spacing spread (max / median):
+    - spread < 3 (uniform lattices ~1.0, bunny scan 1.47): geometric
+      ladder from the median to 2.5× max spacing, ~8 rungs per 5× band,
+      capped at the reference's 25. Unchanged since round 3 — the
+      sweep/scan protocols' quality baselines are pinned to it.
+    - spread >= 3 (möbius 3.6, cyclide 4.7): STRESS ladder
+      geomspace(p10, 4·max, 24) — the dense pinch needs balls below the
+      median (p10) and the sparse side needs ~2× more bridging reach.
+      Measured round 5 on the cyclide (mesh F/V after the standard hole
+      protocol, old → new): 8k/s0 1.66→1.91, 8k/s1 1.44→1.50,
+      5k/s0 1.61→1.68, 12k/s0 1.30→1.64 — dominates on every config
+      (largest component 0.23-0.89 → 0.77-0.98). The quality landscape
+      is chaotic in the rung count (24: 1.91, 25: 1.88, 28: 1.65 on
+      8k/s0) — treat any further rung tuning as noise unless it
+      dominates across seeds AND sizes like this one.
     """
     d = np.asarray(nn_dists, np.float64)
     d = d[np.isfinite(d) & (d > 0)]
     if d.size == 0:
         return np.geomspace(1e-3, 5e-3, 8)
-    lo = float(np.median(d))
-    hi = max(2.5 * float(d.max()), 5.0 * lo)
-    num = int(np.clip(np.ceil(8.0 * np.log(hi / lo) / np.log(5.0)),
+    med = float(np.median(d))
+    mx = float(d.max())
+    if mx / med >= 3.0:
+        lo = float(np.percentile(d, 10))
+        return np.geomspace(lo, 4.0 * mx, min(24, max_num))
+    hi = max(2.5 * mx, 5.0 * med)
+    num = int(np.clip(np.ceil(8.0 * np.log(hi / med) / np.log(5.0)),
                       8, max_num))
-    return np.geomspace(lo, hi, num)
+    return np.geomspace(med, hi, num)
 
 
 def cleanup_mesh(faces: np.ndarray) -> np.ndarray:

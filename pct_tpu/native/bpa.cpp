@@ -536,19 +536,37 @@ extern "C" {
 
 // Returns number of triangles; fills *out (malloc'd, caller frees via
 // bpa_free) with t*3 int32 vertex ids. radii must be ascending.
-int bpa_reconstruct(const float* points, const float* normals, int n,
-                    const float* radii, int n_radii, int32_t** out) {
+// passes > 1 repeats the whole radius ladder while the mesh still grows:
+// the classic single sweep visits each radius once, but gluing done by a
+// LATER (larger) rung can unlock seeds and pivots for EARLIER radii —
+// front edges carried between rungs are re-activated by run(), and
+// seeding outcomes change once neighboring orphans became INSIDE. A
+// repeat pass is purely additive (state only moves ORPHAN -> INSIDE,
+// edge_uses only grows), so faces from pass 1 are unchanged.
+int bpa_reconstruct_passes(const float* points, const float* normals, int n,
+                           const float* radii, int n_radii, int passes,
+                           int32_t** out) {
   if (n < 3 || n_radii < 1) { *out = nullptr; return 0; }
   std::vector<V3> pts(n), nrm(n);
   std::memcpy(pts.data(), points, sizeof(V3) * n);
   std::memcpy(nrm.data(), normals, sizeof(V3) * n);
   BPA bpa(pts, nrm);
-  for (int i = 0; i < n_radii; ++i) bpa.run(radii[i]);
+  size_t prev = 0;
+  for (int p = 0; p < (passes < 1 ? 1 : passes); ++p) {
+    for (int i = 0; i < n_radii; ++i) bpa.run(radii[i]);
+    if (bpa.tris.size() == prev) break;  // converged: nothing new grew
+    prev = bpa.tris.size();
+  }
   int t = (int)(bpa.tris.size() / 3);
   if (t == 0) { *out = nullptr; return 0; }
   *out = (int32_t*)std::malloc(sizeof(int32_t) * bpa.tris.size());
   std::memcpy(*out, bpa.tris.data(), sizeof(int32_t) * bpa.tris.size());
   return t;
+}
+
+int bpa_reconstruct(const float* points, const float* normals, int n,
+                    const float* radii, int n_radii, int32_t** out) {
+  return bpa_reconstruct_passes(points, normals, n, radii, n_radii, 1, out);
 }
 
 void bpa_free(int32_t* buf) { std::free(buf); }

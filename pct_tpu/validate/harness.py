@@ -139,8 +139,12 @@ def validate_cloud(
         t_s = time.time()
         k_rec, per_sample = explicit_quadratic_neighbor_study(
             cloud, tol_rel=study_tol_rel)
-        stage_t["study"] = round(time.time() - t_s, 3)
+        # sync INSIDE the lap: the study jit dispatches asynchronously,
+        # so without this the whole study wall (compile included) lands
+        # between laps and the row's t_* columns under-attribute by
+        # ~50 s/fresh process (measured on the bunny, round 5)
         converged_k = int(k_rec)
+        stage_t["study"] = round(time.time() - t_s, 3)
         # per_sample carries -1 for samples that never converged at tol
         # (they contribute kmax to the mean, ref :790-791) — record the
         # honest fraction so converged_k=kmax is readable as "clamped"

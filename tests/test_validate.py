@@ -149,3 +149,23 @@ def test_sweep_csv_has_transparency_and_compile_columns(tmp_path):
     assert int(r["study_kmax"]) == 99
     assert float(r["t_compile"]) > 0.0        # this process compiled fresh
     assert r["cache"] in ("warm", "cold")
+
+
+def test_scans_driver_repeat_rows(tmp_path):
+    """run_scans(repeat=2) writes one row per run: run 2 must be the
+    in-process warm floor (no fresh compiles — t_compile ~ 0)."""
+    from pct_tpu.io.ply import write_ply
+    from pct_tpu.validate.scans import run_scans
+
+    # mild perturbation: a clean 2k sphere converges at k=7 and trips
+    # the min-converged-k abort gate (correct behavior, wrong fixture)
+    _, pts = generate_shape("sphere", 3000, radius=1.0,
+                            perturbation_strength=0.01)
+    write_ply(str(tmp_path / "s.ply"), pts)
+    rows = run_scans(str(tmp_path), out_csv=str(tmp_path / "out.csv"),
+                     k_neighbors=12, repeat=2)
+    assert [r["run"] for r in rows] == [1, 2]
+    assert all(r["status"] == "ok" for r in rows)
+    assert rows[0]["t_compile"] > 1.0          # fresh process traced
+    assert rows[1]["t_compile"] < 0.2 * rows[0]["t_compile"]
+    assert rows[1]["cache"] == "warm"

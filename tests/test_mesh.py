@@ -382,3 +382,27 @@ def test_coarse_spec_collides_across_clouds():
         specs.append(probe_grid_buckets(grid, coarse=True))
     assert specs[0] == specs[1]
     assert len(specs[0][0]) == 1      # single coarse bucket
+
+
+def test_normals_moments_hierarchical_path(monkeypatch):
+    """The round-5 large-k normals route (moments raw normals +
+    kv-voter select) must deliver globally consistent signs through the
+    HIERARCHICAL branch too — reachable below 32k only by lowering the
+    threshold (the 300k scans protocol runs this exact path)."""
+    import pct_tpu.mesh.normals as nm
+    from pct_tpu.core import from_numpy
+    from pct_tpu.shapes import generate_shape
+
+    monkeypatch.setattr(nm, "_HIER_THRESHOLD", 2000)
+    n = 5000
+    pts, _ = generate_shape("torus", n, radius=1.0)
+    cloud = from_numpy(pts)
+    nrm = np.asarray(nm.estimate_and_orient_normals(cloud, k=40))[:n]
+    assert np.isfinite(nrm).all()
+    rho = np.linalg.norm(pts[:, :2], axis=1, keepdims=True)
+    scale = pts[:, :2] / np.maximum(rho, 1e-9)
+    c = np.concatenate([scale, np.zeros((n, 1), pts.dtype)], axis=1)
+    R = 0.75 * rho.max()
+    ana = pts - R * c
+    agree = (np.sum(nrm * ana, axis=1) > 0).mean()
+    assert agree > 0.999 or agree < 0.001

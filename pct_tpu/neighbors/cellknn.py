@@ -229,17 +229,21 @@ _SELECT_COMPILE_HAZARD = 48_000  # max k*M admitted to the unrolled-k
 
 def _select_plan(capacity: int, m: int, k: int):
     """(block_cells, vmem_limit_bytes|None) for the pallas select, or
-    (None, None) when even block=1 exceeds the raised budget.
+    (None, None) when block=8 exceeds the raised budget (the caller
+    must demote to the XLA path).
 
-    Prefers block=8 (block != 8 measured slower on the headline path);
-    programs that fit the DEFAULT scoped budget get vmem_limit=None so
+    block is ALWAYS 8: the select kernels' 2D blocks put block_cells on
+    the SUBLANE axis, and Mosaic only lowers sublane block extents that
+    are divisible by 8 or equal to the array dim — a sub-8 tier passed
+    interpret-mode tests but failed TPU lowering in the wild
+    (sweep_r5 r=1000 Perturbed voter selects, "block shape (1, 256)").
+    Programs that fit the DEFAULT scoped budget get vmem_limit=None so
     their compiled artifacts stay byte-identical to pre-plan builds."""
-    for block in (8, 4, 2, 1):
-        need = _select_scoped_bytes(block, capacity, m, k)
-        if need <= _SELECT_VMEM_DEFAULT:
-            return block, None
-        if need <= (_SELECT_VMEM_RAISED * 3) // 4:
-            return block, _SELECT_VMEM_RAISED
+    need = _select_scoped_bytes(8, capacity, m, k)
+    if need <= _SELECT_VMEM_DEFAULT:
+        return 8, None
+    if need <= (_SELECT_VMEM_RAISED * 3) // 4:
+        return 8, _SELECT_VMEM_RAISED
     return None, None
 
 
@@ -605,7 +609,9 @@ def _tile_select(grid: GridIndex, args, k: int, capacity: int, cand_cap: int,
         # clouds). The guards already demoted configs with no plan.
         block, vmem_limit = _select_plan(capacity, cand.shape[1], k)
         if block is None:      # unguarded direct caller: fail safe
-            block, vmem_limit = 1, _SELECT_VMEM_RAISED
+            # (guarded paths demote to XLA before reaching here; block
+            # must stay 8 — sub-8 sublane blocks do not lower)
+            block, vmem_limit = 8, _SELECT_VMEM_RAISED
         if want == "coords":
             from pct_tpu.ops.pallas_select import knn_select_coords
 

@@ -247,12 +247,21 @@ def knn_moments(qpts: jax.Array, cpts: jax.Array, cand: jax.Array,
     px, py, pz = _axes3(cpts)
     m = px.shape[1]
     # minimal-padding chunking: the fewest `chunk`-bounded pieces, each
-    # the smallest 128-multiple that covers m/g (the packed-run M axis
+    # the smallest 256-multiple that covers m/g (the packed-run M axis
     # is no longer a power-of-two-ish multiple of 1024; naive rounding
-    # to the requested chunk padded M up to ~60%)
+    # to the requested chunk padded M up to ~60%).
+    # 256-multiples, NOT 128: chunk=896 (7 x 128 lanes) at C=128 is a
+    # DEVICE-KILLING Mosaic static — the k=50 moment kernel at
+    # (C=128, m=1560 -> chunk 896) deterministically faulted the TPU
+    # ("UNAVAILABLE: kernel fault" twice in sweep_r5_200k_perturbed,
+    # INTERNAL backend error in scripts/bisect_moment_fault.py), while
+    # the identical geometry at chunk 768/1024 runs everywhere (the
+    # cylinder/torus siblings, m=1432/2040/2200). Rounding to 256 maps
+    # the hostile class onto the proven chunk=1024 program at <= 14%
+    # extra pad.
     g_min = -(-m // chunk)
     per_piece = -(-m // g_min)
-    chunk = -(-per_piece // 128) * 128
+    chunk = -(-per_piece // 256) * 256
     pad_m = (-m) % chunk
     if pad_m:
         px, py, pz = (jnp.pad(a, ((0, 0), (0, pad_m)))

@@ -325,3 +325,46 @@ def test_fused_moments_scatter_strategies_match(strategy):
     assert np.all(np.asarray(alt.curv.K)[n:] == 0)
     assert np.all(np.asarray(alt.normals)[n:] == 0)
     assert not np.asarray(alt.exact)[n:].any()
+
+
+def test_chunk_rounding_avoids_hostile_896():
+    """Round-5 device-fault regression: the k=50 moment kernel at
+    (C=128, m=1560) chose chunk=896 (7x128 lanes) and deterministically
+    faulted the TPU (sweep_r5_200k_perturbed, scripts/
+    bisect_moment_fault.py). Chunks must be 256-multiples now — the
+    faulting m values map onto the proven 768/1024 programs."""
+    def chosen_chunk(m, chunk=1024):
+        g_min = -(-m // chunk)
+        per = -(-m // g_min)
+        return -(-per // 256) * 256
+
+    for m in (1560, 1552, 1544, 1680, 2040, 2200, 1432):
+        c = chosen_chunk(m)
+        assert c % 256 == 0 and c != 896, (m, c)
+
+
+def test_moments_kernel_at_faulting_static_interpret():
+    """The exact round-5 faulting static (C=128, m=1560, k=50) must
+    match the XLA oracle through the interpreter with the new
+    256-multiple chunking."""
+    import jax.numpy as jnp
+
+    from pct_tpu.ops.pallas_moments import knn_moments, xla_moment_stats
+
+    rng = np.random.default_rng(3)
+    T, C, M, K = 2, 128, 1560, 50
+    q = jnp.asarray(rng.standard_normal((T, C, 3)).astype(np.float32))
+    p = jnp.asarray(rng.standard_normal((T, M, 3)).astype(np.float32))
+    cand = jnp.asarray(
+        np.stack([rng.permutation(4096)[:M] for _ in range(T)])
+        .astype(np.int32))
+    qrow = cand[:, :C]
+    valid = jnp.asarray((rng.random((T, M)) < 0.9).astype(np.int32))
+    got = np.asarray(knn_moments(q, p, cand, qrow, valid, K,
+                                 interpret=True))
+    want = np.asarray(xla_moment_stats(q, p, cand, qrow, valid, K))
+    np.testing.assert_allclose(got[..., :35], want[..., :35],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got[..., 38], want[..., 38],
+                               rtol=1e-5, atol=1e-7)   # sigma
+    np.testing.assert_array_equal(got[..., 45], want[..., 45])  # found

@@ -65,12 +65,20 @@ def test_plan_raises_limit_for_oom_class():
         assert _select_scoped_bytes(block, c, 1600, 50) <= (limit * 3) // 4
 
 
-def test_plan_shrinks_block_when_raised_budget_overflows():
-    block, limit = _select_plan(256, 8000, 50)
-    assert block is not None and block < 8
-    assert _select_scoped_bytes(block, 256, 8000, 50) <= (limit * 3) // 4
+def test_plan_never_returns_sub8_blocks():
+    """Round-5 in-the-wild lowering failure: sub-8 block_cells put a
+    non-multiple-of-8 extent on the SUBLANE axis, which Mosaic refuses
+    to lower ("block shape (1, 256)", r=1000 Perturbed voter selects).
+    The plan must return block=8 or no plan at all — overflow demotes
+    to the XLA path instead of shrinking the block."""
+    for c, m, k in [(64, 600, 20), (192, 1600, 50), (256, 8000, 50),
+                    (256, 12000, 12), (512, 200_000, 100)]:
+        block, limit = _select_plan(c, m, k)
+        assert block in (8, None), (c, m, k, block)
     # something absurd must return no plan at all
     assert _select_plan(512, 200_000, 100) == (None, None)
+    # ... and the routing helper must reject it (guards then demote)
+    assert not pallas_select_ok(256, 200_000, 12)
 
 
 def test_hazard_class_demoted_to_xla():
